@@ -1,0 +1,77 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{CrawlParams, Sessions}
+import graft.fixtures.PagesGen
+import graft.round.{CrawlEngine, ParquetTableIO, RoundDriver}
+
+/** spark-submit entry point for the crawl-and-rank engine (the analog of
+  * the reference's `cmd/crawl` / `cmd/sync` binaries).
+  *
+  * Usage:
+  *   CrawlMain <scale> <stateDir> <maxRounds> [cores] [batch] [hostBudget] [walksPerNode]
+  *     scale     tiny | small | bench — deterministic synthetic corpus (seed 42)
+  *     stateDir  checkpoint root; re-running resumes from the last committed round
+  *
+  * Prints one JSON line per round (the fetch/dedupe metrics stream required
+  * by the north rule) and a final summary with URLs-scheduled/sec.
+  */
+object CrawlMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: CrawlMain <tiny|small|bench> <stateDir> <maxRounds> [cores] [batch] [hostBudget] [walksPerNode]")
+      sys.exit(2)
+    }
+    val cfg = args(0) match {
+      case "tiny" => PagesGen.Tiny
+      case "small" => PagesGen.Small
+      case "bench" => PagesGen.Bench
+      case other => System.err.println(s"unknown scale '$other'"); sys.exit(2); null
+    }
+    val stateDir = args(1)
+    val maxRounds = args(2).toInt
+    val cores = if (args.length > 3) args(3).toInt else 8
+    val batch = if (args.length > 4) args(4).toInt else 100
+    val hostBudget = if (args.length > 5) args(5).toInt else 10
+    val walksPerNode = if (args.length > 6) args(6).toInt else 100
+
+    val spark: SparkSession = Sessions.local(cores, appName = s"graft-crawl-${args(0)}")
+    val params = CrawlParams(batch = batch, hostBudget = hostBudget, walksPerNode = walksPerNode)
+
+    val pages = PagesGen.generate(spark, cfg, partitions = cores * 4)
+    val extracted = CrawlEngine.extractPages(spark, pages.toDF).persist()
+
+    val io = new ParquetTableIO(spark, stateDir)
+    val driver = new RoundDriver(spark, io, params)
+    val resumedFrom = io.lastCompleteRound()
+    if (resumedFrom < 0) {
+      driver.init(PagesGen.seedUrls(cfg, 3))
+      println(s"""{"event":"init","seeds":3,"scale":"${args(0)}","pages":${cfg.pages}}""")
+    } else {
+      println(s"""{"event":"resume","fromRound":$resumedFrom}""")
+    }
+
+    val t0 = System.nanoTime()
+    val result = driver.run(extracted, maxRounds)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    result.traces.foreach { t =>
+      val m = t.metrics
+      println(
+        s"""{"event":"round","round":${t.round},"scheduled":${m.scheduled},"fetched":${m.fetched},""" +
+          s""""newNodes":${m.newNodes},"newEdges":${m.newEdges},"removedEdges":${m.removedEdges},""" +
+          s""""walksChanged":${m.walksChanged},"totalWalks":${m.totalWalks},"promoted":${m.promoted},""" +
+          s""""demoted":${m.demoted},"seen":${m.seenSize},"pending":${m.pendingSize},""" +
+          s""""scanRan":${m.scanRan},"wallMillis":${m.wallMillis}}"""
+      )
+    }
+    val scheduled = result.traces.map(_.metrics.scheduled).sum
+    val rate = if (wallSec > 0) scheduled / wallSec else 0.0
+    println(
+      s"""{"event":"summary","rounds":${result.traces.size},"urlsScheduled":$scheduled,""" +
+        s""""wallSec":$wallSec,"urlsPerSec":$rate,"cores":$cores}"""
+    )
+    spark.stop()
+  }
+}

@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the local-mode defaults this project assumes.
+  *
+  * All knobs are chosen for correctness-parity with the DuckDB oracle
+  * (UTC session time zone) and for local[N] execution (shuffle
+  * partitions sized to cores, AQE on so skewed joins re-plan at
+  * runtime — see SURVEY.md §4 "What Catalyst gives us for free").
+  */
+object Sessions {
+  def local(cores: Int, shufflePartitions: Int = -1, appName: String = "graft"): SparkSession = {
+    val sp = if (shufflePartitions > 0) shufflePartitions else cores
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", sp.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

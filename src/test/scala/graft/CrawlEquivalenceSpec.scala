@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{CrawlParams, Page}
+import graft.fixtures.PagesGen
+import graft.round.{CrawlEngine, ParquetTableIO, RoundDriver}
+import graft.spec.SequentialSpec
+
+/** THE north-rule equivalence gate (SURVEY.md §7.4 item 1): the distributed
+  * Spark engine must reproduce the sequential executable spec BYTE-FOR-BYTE
+  * on per-round crawl order and the final URL-seen set, and exactly on node
+  * statuses, adjacency, and walk state — on the same seed list and
+  * politeness budget. Also proves checkpoint resumability: a run stopped
+  * after round 3 and resumed matches an uninterrupted run.
+  */
+class CrawlEquivalenceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, appName = "crawl-equivalence")
+
+  val cfg = PagesGen.Tiny
+  val params: CrawlParams = CrawlParams(
+    seed = 42L,
+    alpha = 0.85,
+    walksPerNode = 10,
+    batch = 20,
+    hostBudget = 5,
+    promotion = 0.1,
+    demotion = 0.05,
+    activation = 0.01,
+    promotionWait = 0L
+  )
+  val seeds: Seq[String] = PagesGen.seedUrls(cfg, 3)
+  val rounds = 6
+
+  // pages, generated once driver-side (pure function of seed)
+  lazy val pageRows: Seq[Page] = {
+    val v1 = (0L until cfg.pages.toLong).map(pid => PagesGen.pageOf(cfg, pid, 1))
+    val v2 = (0L until cfg.pages.toLong).filter(PagesGen.isRepublished).map(pid => PagesGen.pageOf(cfg, pid, 2))
+    v1 ++ v2
+  }
+
+  lazy val specResult: SequentialSpec.Result = {
+    val pv = pageRows.map(p => SequentialSpec.PageV(p.url, p.warc_ts.getTime / 1000, p.html, p.text))
+    SequentialSpec.run(pv, seeds, params, rounds)
+  }
+
+  def runEngine(maxRounds: Int, dir: String): CrawlEngine.Result = {
+    import spark.implicits._
+    val pagesDF = spark.createDataset(pageRows).toDF
+    val extracted = CrawlEngine.extractPages(spark, pagesDF).persist()
+    val io = new ParquetTableIO(spark, dir)
+    val driver = new RoundDriver(spark, io, params)
+    if (io.lastCompleteRound() < 0) driver.init(seeds)
+    val res = driver.run(extracted, maxRounds)
+    extracted.unpersist()
+    res
+  }
+
+  def engineState(dir: String): (Map[Long, (String, String, Long, Long, Long)], Map[Long, Seq[Long]], Map[Long, Seq[Long]], Seq[String]) = {
+    val io = new ParquetTableIO(spark, dir)
+    val last = io.lastCompleteRound()
+    val nodes = io
+      .read(last, "nodes")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val adjacency = io
+      .read(last, "edges")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSeq.sorted)
+      .toMap
+    val walks = io
+      .read(last, "walks")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSeq)
+      .toMap
+    val seen = io.read(last, "fetched").collect().map(_.getString(0)).toSeq.sorted
+    (nodes, adjacency, walks, seen)
+  }
+
+  test("engine matches spec byte-for-byte: crawl order, seen set, statuses, walks") {
+    val dir = Files.createTempDirectory("crawl-eq").toString
+    val engine = runEngine(rounds, dir)
+
+    // the crawl did something nontrivial
+    assert(specResult.traces.nonEmpty)
+    assert(specResult.traces.exists(_.promoted.nonEmpty), "expected at least one promotion")
+    assert(specResult.seen.size > seeds.size, "expected the crawl to expand beyond the seeds")
+
+    // (a) per-round fetch order — byte-for-byte
+    assert(engine.traces.length === specResult.traces.length)
+    engine.traces.zip(specResult.traces).foreach { case (e, s) =>
+      assert(e.round === s.round)
+      assert(e.fetchOrder === s.fetchOrder, s"fetch order differs in round ${s.round}")
+      assert(e.walksChanged === s.walksChanged, s"walksChanged differs in round ${s.round}")
+      assert(e.promoted === s.promoted.size.toLong, s"promotions differ in round ${s.round}")
+      assert(e.demoted === s.demoted.size.toLong, s"demotions differ in round ${s.round}")
+      assert(e.scanRan === s.scanRan, s"scan trigger differs in round ${s.round}")
+    }
+
+    // (b) URL-seen set — byte-for-byte
+    val (nodes, adjacency, walks, seen) = engineState(dir)
+    assert(seen === specResult.seen)
+
+    // (c) node table exactly
+    val specNodes = specResult.nodes.map { case (id, st) =>
+      id -> ((st.url, st.status, st.addedRound, st.promotedRound, st.demotedRound))
+    }
+    assert(nodes === specNodes)
+
+    // (d) adjacency exactly
+    val specAdj = specResult.adjacency.collect { case (k, v) if v.nonEmpty => k -> v.toSeq }
+    assert(adjacency === specAdj)
+
+    // (e) walk state exactly (ids and paths)
+    val specWalks = specResult.walks.map { case (k, v) => k -> v.toSeq }
+    assert(walks.size === specWalks.size)
+    assert(walks === specWalks)
+  }
+
+  test("resumability: stop after round 3, resume, final state identical") {
+    val dirA = Files.createTempDirectory("crawl-full").toString
+    val dirB = Files.createTempDirectory("crawl-resumed").toString
+    runEngine(rounds, dirA)
+    runEngine(3, dirB) // partial run…
+    runEngine(rounds, dirB) // …resumed from the round-3 checkpoint
+    assert(engineState(dirA) === engineState(dirB))
+  }
+
+  test("walk↔visit-index consistency + leak/demotion invariants (e2e_test.go analogs)") {
+    val dir = Files.createTempDirectory("crawl-inv").toString
+    runEngine(rounds, dir)
+    val (nodes, _, walks, _) = engineState(dir)
+    // every walk's start equals path head; no walk starts at a non-active node
+    val activeIds = nodes.collect { case (id, (_, "active", _, _, _)) => id }.toSet
+    walks.foreach { case (wid, path) =>
+      assert(path.nonEmpty)
+      assert(path.distinct.size === path.size, s"walk $wid repeats a node")
+      assert(activeIds.contains(path.head), s"walk $wid starts at non-active node ${path.head}")
+    }
+    // each active node has exactly walksPerNode walks starting at it
+    val byStart = walks.keys.groupBy(_ / params.walksPerNode)
+    activeIds.foreach { id =>
+      assert(byStart.getOrElse(id, Nil).size === params.walksPerNode, s"node $id walk count")
+    }
+  }
+}
