@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{EngineQueries, RelationalQueries, TextQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` covers the SURVEY.md §2 operator inventory (q01-q17), the
+  * training-data-pipeline operators (q18-q28: dedup, similarity search,
+  * text analysis), and the engine-native seeded/sketch operators
+  * (q29-q32, rows-only). Each oracle is ANSI SQL validated against
+  * DuckDB v1.0.0 semantics.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the crawl engine's extraction front-end (the one pass that
+    * touches the html binary at 100 TB scale) over the deterministic tiny
+    * corpus — html → text/outlinks/leak-flags, aggregated per host.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = graft.fixtures.PagesGen.generate(spark, graft.fixtures.PagesGen.Tiny, partitions = 4).toDF
+    graft.round.CrawlEngine
+      .extractPages(spark, pages)
+      .withColumn("host", expr("url_host(url)"))
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_pages"),
+        sum(size(col("outlinks"))).as("n_outlinks"),
+        sum(when(col("has_secret"), 1).otherwise(0)).as("n_leaky"),
+        max(col("ver")).as("max_versions")
+      )
+      .orderBy("host")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.all ++ TextQueries.all ++ EngineQueries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Engine-native ops (q29-q32) are omitted →
+    * rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ TextQueries.oracles
 }

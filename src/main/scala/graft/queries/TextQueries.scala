@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the `documents` and `embeddings`
+  * tables: deduplication (exact, minhash-LSH, simhash, n-gram Jaccard),
+  * similarity search (brute-force + bucketed ANN), and text analysis
+  * (language-ID heuristic, quality score, token counts, fingerprints).
+  *
+  * Cross-engine parity trick: every hash-based op uses md5 (identical hex
+  * string in Spark and DuckDB); numeric hashes derive from the first 8 hex
+  * chars (conv(…,16,10) in Spark == CAST('0x'||… AS BIGINT) in DuckDB), so
+  * even MinHash/SimHash get full value-level oracles instead of rows-only
+  * checks.
+  */
+object TextQueries {
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** distinct tokens per doc (whitespace tokenizer; documents are
+    * single-space word soup).
+    */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** q18 — exact dedup (hash-groupBy): md5 fingerprint groups with keeper =
+    * min doc_id (the reference's newest-per-key S6 Replace inverted to
+    * first-wins for stable ids).
+    */
+  def q18DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .groupBy("n_copies")
+      .agg(count(lit(1)).as("n_groups"), min(col("keeper")).as("first_keeper"))
+      .orderBy("n_copies")
+  }
+  val q18Sql: String =
+    """SELECT n_copies, count(*) AS n_groups, min(keeper) AS first_keeper
+      |FROM (SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+      |      FROM documents GROUP BY 1)
+      |GROUP BY n_copies ORDER BY n_copies""".stripMargin
+
+  /** q19 — token counting (whitespace tokenizer + distinct-token count). */
+  def q19TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+        length(col("text")).cast("long").as("n_chars_text")
+      )
+      .orderBy("doc_id")
+  }
+  val q19Sql: String =
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |       CAST(length(text) AS BIGINT) AS n_chars_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q20 — quality scoring (length/word-length/diversity ratios). */
+  def q20QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val toks = size(split(col("text"), " ")).cast("double")
+    val dtoks = size(array_distinct(split(col("text"), " "))).cast("double")
+    t(dir, "documents")
+      .select(
+        col("doc_id"),
+        round(length(col("text")).cast("double") / toks, 4).as("avg_token_len"),
+        round(dtoks / toks, 4).as("diversity"),
+        (length(col("text")) >= 100 && length(col("text")) <= 2000).as("length_ok")
+      )
+      .orderBy("doc_id")
+  }
+  val q20Sql: String =
+    """SELECT doc_id,
+      |       CAST(round(CAST(length(text) AS DOUBLE) / len(string_split(text,' ')), 4) AS DOUBLE) AS avg_token_len,
+      |       CAST(round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')), 4) AS DOUBLE) AS diversity,
+      |       length(text) >= 100 AND length(text) <= 2000 AS length_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q21 — language-ID heuristic (stopword-marker n-gram check) compared
+    * against the labeled `lang` column.
+    */
+  def q21LangId(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents")
+      .withColumn(
+        "pred_en",
+        col("text").contains(" the ") || col("text").startsWith("the ") || col("text").contains(" a ")
+      )
+      .groupBy("lang", "pred_en")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_en")
+  }
+  val q21Sql: String =
+    """SELECT lang, (text LIKE '% the %' OR text LIKE 'the %' OR text LIKE '% a %') AS pred_en, count(*) AS n
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_en""".stripMargin
+
+  /** q22 — document fingerprinting: content hash + a positional rolling-ish
+    * digest (md5 of length-prefixed text).
+    */
+  def q22Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"),
+        md5(concat(col("n_chars").cast("string"), lit(":"), substring(col("text"), 1, 32)).cast("binary"))
+          .as("prefix_fp")
+      )
+      .orderBy("doc_id")
+  }
+  val q22Sql: String =
+    """SELECT doc_id, md5(text) AS fp,
+      |       md5(CAST(n_chars AS VARCHAR) || ':' || substr(text, 1, 32)) AS prefix_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q23 — n-gram (unigram-set) Jaccard near-dup against a fixed query doc:
+    * |A∩B| / |A∪B| over distinct token sets, top 20.
+    */
+  def q23Jaccard(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val toks = tokens(t(dir, "documents")).persist()
+    val qset = toks.filter(col("doc_id") === 0).select(col("tok").as("qtok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val qsz = qset.count()
+    val inter = toks
+      .join(qset, col("tok") === col("qtok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("inter"))
+    sizes
+      .join(inter, Seq("doc_id"), "left")
+      .withColumn("i", coalesce(col("inter"), lit(0L)))
+      .withColumn("jaccard", round(col("i").cast("double") / (col("sz") + lit(qsz) - col("i")), 4))
+      .filter(col("doc_id") =!= 0)
+      .select("doc_id", "jaccard")
+      .orderBy(col("jaccard").desc, col("doc_id").asc)
+      .limit(20)
+  }
+  val q23Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+      |q AS (SELECT tok AS qtok FROM toks WHERE doc_id = 0),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |qsz AS (SELECT count(*) AS qn FROM q),
+      |inter AS (SELECT doc_id, count(*) AS i FROM toks JOIN q ON tok = qtok GROUP BY doc_id)
+      |SELECT s.doc_id,
+      |       CAST(round(CAST(coalesce(i, 0) AS DOUBLE) / (sz + (SELECT qn FROM qsz) - coalesce(i, 0)), 4) AS DOUBLE) AS jaccard
+      |FROM sizes s LEFT JOIN inter USING (doc_id)
+      |WHERE s.doc_id <> 0 ORDER BY jaccard DESC, s.doc_id ASC LIMIT 20""".stripMargin
+
+  /** q24 — MinHash + LSH banding (shingle→minhash→band→bucket histogram):
+    * 4 md5-minhashes per doc, banded 2×2; emits bucket sizes + candidate
+    * pair counts per band (the collision structure an LSH dedup join uses).
+    */
+  def q24MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    def h(k: Int): Column = min(md5(concat(lit(s"s$k:"), col("tok")).cast("binary"))).as(s"h$k")
+    val sig = tokens(t(dir, "documents")).groupBy("doc_id").agg(h(1), h(2), h(3), h(4))
+    val bands = sig
+      .select(col("doc_id"), md5(concat(col("h1"), col("h2")).cast("binary")).as("b"), lit(1).as("band"))
+      .union(sig.select(col("doc_id"), md5(concat(col("h3"), col("h4")).cast("binary")).as("b"), lit(2).as("band")))
+    bands
+      .groupBy("band", "b")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("n_pairs", (col("n_docs") * (col("n_docs") - 1) / 2).cast("long"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n_pairs")).cast("long").as("candidate_pairs"),
+        max(col("n_docs")).as("max_bucket"),
+        min(col("min_doc")).as("first_doc")
+      )
+      .orderBy("band")
+  }
+  val q24Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+      |sig AS (SELECT doc_id, min(md5('s1:' || tok)) AS h1, min(md5('s2:' || tok)) AS h2,
+      |               min(md5('s3:' || tok)) AS h3, min(md5('s4:' || tok)) AS h4
+      |        FROM toks GROUP BY doc_id),
+      |bands AS (SELECT doc_id, md5(h1 || h2) AS b, 1 AS band FROM sig
+      |          UNION ALL SELECT doc_id, md5(h3 || h4) AS b, 2 AS band FROM sig),
+      |buckets AS (SELECT band, b, count(*) AS n_docs, min(doc_id) AS min_doc,
+      |                   CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+      |            FROM bands GROUP BY band, b HAVING count(*) >= 2)
+      |SELECT band, count(*) AS n_buckets, CAST(sum(n_pairs) AS BIGINT) AS candidate_pairs,
+      |       max(n_docs) AS max_bucket, min(min_doc) AS first_doc
+      |FROM buckets GROUP BY band ORDER BY band""".stripMargin
+
+  /** q25 — SimHash (32-bit, md5-derived per-token hashes): per-doc simhash
+    * value. Cross-engine: conv(hex,16,10) == CAST('0x'||hex AS BIGINT).
+    */
+  def q25Simhash(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val toks = tokens(t(dir, "documents"))
+      .withColumn("h", expr("cast(conv(substring(md5(cast(tok as binary)), 1, 8), 16, 10) as bigint)"))
+    toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
+      .withColumn("sgn", when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "bit")
+      .agg(sum(col("sgn")).as("s"))
+      .withColumn("contrib", when(col("s") > 0, expr("shiftleft(1L, cast(bit as int))")).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).cast("long").as("simhash"))
+      .orderBy("doc_id")
+  }
+  val q25Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+      |bits AS (SELECT doc_id, h, bit FROM h, (SELECT unnest(range(0, 32)) AS bit)),
+      |votes AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |          FROM bits GROUP BY doc_id, bit)
+      |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q26 — brute-force cosine top-k ANN baseline against query vector
+    * vec_id=0 (double accumulation on both sides; ordered by rounded
+    * similarity then id so float noise cannot reorder).
+    */
+  def q26AnnCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val emb = t(dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val dot = expr(
+      "aggregate(zip_with(embedding, qe, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    val nx = expr("aggregate(embedding, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    val ny = expr("aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    emb
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos_sim", round(dot / (sqrt(nx) * sqrt(ny)), 4))
+      .select("vec_id", "label", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+  val q26Sql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |pairs AS (SELECT e.vec_id, e.label,
+      |                 CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(q.qe) AS DOUBLE) AS y
+      |          FROM embeddings e, q WHERE e.vec_id <> 0),
+      |sums AS (SELECT vec_id, label, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+      |         FROM pairs GROUP BY vec_id, label)
+      |SELECT vec_id, label, CAST(round(dot / (sqrt(nx) * sqrt(ny)), 4) AS DOUBLE) AS cos_sim
+      |FROM sums ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** q27 — IVF-style coarse quantization: sign-bucket of the first 8 dims →
+    * bucket histogram (the partition structure a bucketed ANN join probes).
+    */
+  def q27IvfBuckets(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bucket = (1 to 8)
+      .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
+      .reduce((a, b) => concat(a, b))
+    t(dir, "embeddings")
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), countDistinct(col("label")).as("n_labels"), min(col("vec_id")).as("first_vec"))
+      .orderBy("bucket")
+  }
+  val q27Sql: String = {
+    val bucketExpr = (1 to 8)
+      .map(i => s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""SELECT $bucketExpr AS bucket, count(*) AS n_vecs, count(DISTINCT label) AS n_labels, min(vec_id) AS first_vec
+       |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  /** q28 — bucketed ANN (the LSH/IVF scale path): cosine top-5 restricted
+    * to the query's sign-bucket — probes one partition instead of the full
+    * table.
+    */
+  def q28AnnBucketed(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bucket = (1 to 8)
+      .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
+      .reduce((a, b) => concat(a, b))
+    val emb = t(dir, "embeddings").withColumn("bucket", bucket)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+    val dot = expr(
+      "aggregate(zip_with(embedding, qe, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    val nx = expr("aggregate(embedding, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    val ny = expr("aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    emb
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0 && col("bucket") === col("qbucket"))
+      .withColumn("cos_sim", round(dot / (sqrt(nx) * sqrt(ny)), 4))
+      .select("vec_id", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+  val q28Sql: String = {
+    val b = (1 to 8)
+      .map(i => s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH e AS (SELECT *, $b AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qbucket FROM e WHERE vec_id = 0),
+       |pairs AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(q.qe) AS DOUBLE) AS y
+       |          FROM e, q WHERE e.vec_id <> 0 AND e.bucket = q.qbucket),
+       |sums AS (SELECT vec_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny FROM pairs GROUP BY vec_id)
+       |SELECT vec_id, CAST(round(dot / (sqrt(nx) * sqrt(ny)), 4) AS DOUBLE) AS cos_sim
+       |FROM sums ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_dedup_exact" -> q18DedupExact _,
+    "q19_token_count" -> q19TokenCount _,
+    "q20_quality_score" -> q20QualityScore _,
+    "q21_lang_id" -> q21LangId _,
+    "q22_fingerprint" -> q22Fingerprint _,
+    "q23_jaccard" -> q23Jaccard _,
+    "q24_minhash_lsh" -> q24MinhashLsh _,
+    "q25_simhash" -> q25Simhash _,
+    "q26_ann_cosine_topk" -> q26AnnCosineTopK _,
+    "q27_ivf_buckets" -> q27IvfBuckets _,
+    "q28_ann_bucketed" -> q28AnnBucketed _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q18_dedup_exact" -> q18Sql,
+    "q19_token_count" -> q19Sql,
+    "q20_quality_score" -> q20Sql,
+    "q21_lang_id" -> q21Sql,
+    "q22_fingerprint" -> q22Sql,
+    "q23_jaccard" -> q23Sql,
+    "q24_minhash_lsh" -> q24Sql,
+    "q25_simhash" -> q25Sql,
+    "q26_ann_cosine_topk" -> q26Sql,
+    "q27_ivf_buckets" -> q27Sql,
+    "q28_ann_bucketed" -> q28Sql
+  )
+}
