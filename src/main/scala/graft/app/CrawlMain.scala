@@ -43,7 +43,10 @@ object CrawlMain {
     val extracted = CrawlEngine.extractPages(spark, pages.toDF).persist()
 
     val io = new ParquetTableIO(spark, stateDir)
-    val driver = new RoundDriver(spark, io, params)
+    // GRAFT_BROADCAST_MAX_EDGES=0 forces the join-based iterative walker
+    // (the 10^10-frontier generation path) instead of broadcast adjacency.
+    val broadcastMax = sys.env.getOrElse("GRAFT_BROADCAST_MAX_EDGES", "10000000").toLong
+    val driver = new RoundDriver(spark, io, params, broadcastMax)
     val resumedFrom = io.lastCompleteRound()
     if (resumedFrom < 0) {
       driver.init(PagesGen.seedUrls(cfg, 3))

@@ -61,7 +61,13 @@ object CrawlEngine {
 class RoundDriver(
     spark: SparkSession,
     io: TableIO,
-    params: CrawlParams
+    params: CrawlParams,
+    /** Above this many edges the promoted-node walk generation switches
+      * from broadcast adjacency to the join-based IterativeWalker (the
+      * 10^10-frontier path); results are identical either way
+      * (IterativeWalkerSpec + the forced-iterative equivalence test).
+      */
+    broadcastMaxEdges: Long = 10000000L
 ) {
   import spark.implicits._
   import CrawlEngine._
@@ -334,19 +340,30 @@ class RoundDriver(
           walksDS = walksDS.join(demotedDF, walksDS("start") === demotedDF("id"), "left_anti").as[WalkRow]
         }
         if (promotedCount > 0) {
-          val bAdj = spark.sparkContext.broadcast(adjacency.toMap)
           val p = params
           val r = round
           val gw = GenWave
-          val newWalks = promotedDF
-            .select($"id")
-            .as[Long]
-            .flatMap { id =>
-              val adjF: WalkAlgebra.Adjacency = n => bAdj.value.getOrElse(n, Array.empty)
-              (0 until p.walksPerNode).map { i =>
-                val wid = id * p.walksPerNode + i
-                WalkRow(wid, id, WalkAlgebra.generateWalk(adjF, id, wid, r, gw, p))
-              }
+          val totalEdges = adjacency.valuesIterator.map(_.length.toLong).sum
+          val newWalks =
+            if (totalEdges > broadcastMaxEdges) {
+              // scale path: one shuffle join per hop, no full-adjacency broadcast
+              val adjDS = graft.walks.IterativeWalker.adjacencyTable(
+                spark,
+                edgesDF.as[EdgeRow].map(e => (e.src, e.dst))
+              )
+              graft.walks.IterativeWalker.generate(spark, promotedDF.select($"id").as[Long], adjDS, r, gw, p)
+            } else {
+              val bAdj = spark.sparkContext.broadcast(adjacency.toMap)
+              promotedDF
+                .select($"id")
+                .as[Long]
+                .flatMap { id =>
+                  val adjF: WalkAlgebra.Adjacency = n => bAdj.value.getOrElse(n, Array.empty)
+                  (0 until p.walksPerNode).map { i =>
+                    val wid = id * p.walksPerNode + i
+                    WalkRow(wid, id, WalkAlgebra.generateWalk(adjF, id, wid, r, gw, p))
+                  }
+                }
             }
           walksDS = walksDS.union(newWalks)
           enqueuedDF = enqueuedDF.union(promotedDF.select($"url")).dropDuplicates("url")

@@ -1,0 +1,100 @@
+package graft.walks
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{CrawlParams, WalkRow}
+
+/** Join-based distributed walk generation — the scale path beyond broadcast
+  * adjacency (SURVEY.md §7.4 item 3).
+  *
+  * The broadcast generator collects the crawled-subgraph adjacency to every
+  * executor — fine while the fetched graph fits in memory, impossible at
+  * 10^10-frontier scale. This walker instead keeps adjacency as a
+  * distributed table and advances ALL in-flight walks one hop per
+  * iteration with a single equi-join (walk.cur == adj.src), shuffling only
+  * live walks. Expected iterations ≈ geometric tail of α (≈ 7 live hops on
+  * average, tail drains by ~α^k); lineage is cut with localCheckpoint every
+  * few steps.
+  *
+  * Because every draw is counter-based (WalkAlgebra.genContinues /
+  * genNextIndex keyed by walkId/round/wave/step), this produces EXACTLY the
+  * same walks as WalkAlgebra.generateWalk — asserted by IterativeWalkerSpec.
+  */
+object IterativeWalker {
+
+  case class St(
+      walkId: Long,
+      start: Long,
+      path: Array[Long],
+      cur: Long,
+      step: Long,
+      alive: Boolean
+  )
+
+  /** Adjacency table from an edges Dataset: (src, follows sorted asc) —
+    * sorted order is part of the walk spec.
+    */
+  def adjacencyTable(spark: SparkSession, edges: Dataset[(Long, Long)]): Dataset[(Long, Array[Long])] = {
+    import spark.implicits._
+    edges.groupByKey(_._1).mapGroups((src, it) => (src, it.map(_._2).toArray.sorted))
+  }
+
+  /** Generate `walksPerNode` walks per start node. `starts` carries
+    * (nodeId); walkIds are nodeId*walksPerNode+i as everywhere else.
+    */
+  def generate(
+      spark: SparkSession,
+      starts: Dataset[Long],
+      adjacency: Dataset[(Long, Array[Long])],
+      round: Long,
+      wave: Int,
+      params: CrawlParams,
+      checkpointEvery: Int = 8
+  ): Dataset[WalkRow] = {
+    import spark.implicits._
+    val p = params
+    var state: Dataset[St] = starts
+      .flatMap { node =>
+        (0 until p.walksPerNode).iterator.map { i =>
+          St(node * p.walksPerNode + i, node, Array(node), node, 0L, alive = true)
+        }
+      }
+      .persist()
+
+    var live = state.filter(_.alive).count()
+    var iter = 0
+    val doneParts = scala.collection.mutable.ArrayBuffer.empty[Dataset[St]]
+
+    while (live > 0 && iter < params.maxWalkSteps) {
+      val adjDF = adjacency.toDF("src", "follows")
+      val liveDS = state.filter(_.alive)
+      doneParts += state.filter(!_.alive) // settled walks accumulate
+      val stepped = liveDS
+        .joinWith(adjDF, liveDS("cur") === adjDF("src"), "left_outer")
+        .map { case (s, adjRow) =>
+          // replicate WalkAlgebra.generateWalk's per-iteration decision tree
+          if (!WalkAlgebra.genContinues(p, s.walkId, round, wave, s.step)) {
+            s.copy(step = s.step + 1, alive = false)
+          } else {
+            val follows: Array[Long] =
+              if (adjRow == null) Array.empty
+              else adjRow.getAs[scala.collection.Seq[Long]]("follows").toArray
+            if (follows.isEmpty) s.copy(step = s.step + 1, alive = false)
+            else {
+              val next = follows(WalkAlgebra.genNextIndex(p, s.walkId, round, wave, s.step, follows.length))
+              if (s.path.contains(next)) s.copy(step = s.step + 1, alive = false)
+              else St(s.walkId, s.start, s.path :+ next, next, s.step + 1, alive = true)
+            }
+          }
+        }
+      state = (if (iter % checkpointEvery == checkpointEvery - 1) stepped.localCheckpoint() else stepped).persist()
+      live = state.filter(_.alive).count()
+      iter += 1
+    }
+    doneParts += state
+    doneParts
+      .reduce(_ union _)
+      .map(s => WalkRow(s.walkId, s.start, s.path))
+  }
+}

@@ -40,6 +40,15 @@ object WalkAlgebra extends Serializable {
   @inline private def stepKey(round: Long, wave: Int, step: Long): Long =
     (round << 24) | (wave.toLong << 20) | step
 
+  /** Public step draws — the iterative (join-based) walker must make the
+    * exact same draws as [[generateWalk]].
+    */
+  @inline def genContinues(params: CrawlParams, walkId: Long, round: Long, wave: Int, step: Long): Boolean =
+    Rng.u01(params.seed, walkId, stepKey(round, wave, step), GenContinue) <= params.alpha
+
+  @inline def genNextIndex(params: CrawlParams, walkId: Long, round: Long, wave: Int, step: Long, n: Int): Int =
+    Rng.uniformIndex(params.seed, walkId, stepKey(round, wave, step), GenNext, n)
+
   /** Adjacency access. Follow lists MUST be sorted ascending by node id —
     * next-hop selection picks by index, so ordering is part of the spec.
     */
@@ -61,15 +70,13 @@ object WalkAlgebra extends Serializable {
     var step = 0L
     var done = false
     while (!done && step < params.maxWalkSteps) {
-      if (Rng.u01(params.seed, walkId, stepKey(round, wave, step), GenContinue) > params.alpha) {
+      if (!genContinues(params, walkId, round, wave, step)) {
         done = true
       } else {
         val follows = adj(node)
         if (follows.isEmpty) done = true // dangling
         else {
-          val next = follows(
-            Rng.uniformIndex(params.seed, walkId, stepKey(round, wave, step), GenNext, follows.length)
-          )
+          val next = follows(genNextIndex(params, walkId, round, wave, step, follows.length))
           if (path.contains(next)) done = true // cycle: stop, do not append
           else { path += next; node = next }
         }

@@ -47,12 +47,12 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     SequentialSpec.run(pv, seeds, params, rounds)
   }
 
-  def runEngine(maxRounds: Int, dir: String): CrawlEngine.Result = {
+  def runEngine(maxRounds: Int, dir: String, broadcastMaxEdges: Long = 10000000L): CrawlEngine.Result = {
     import spark.implicits._
     val pagesDF = spark.createDataset(pageRows).toDF
     val extracted = CrawlEngine.extractPages(spark, pagesDF).persist()
     val io = new ParquetTableIO(spark, dir)
-    val driver = new RoundDriver(spark, io, params)
+    val driver = new RoundDriver(spark, io, params, broadcastMaxEdges)
     if (io.lastCompleteRound() < 0) driver.init(seeds)
     val res = driver.run(extracted, maxRounds)
     extracted.unpersist()
@@ -122,6 +122,26 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     val specWalks = specResult.walks.map { case (k, v) => k -> v.toSeq }
     assert(walks.size === specWalks.size)
     assert(walks === specWalks)
+  }
+
+  test("forced-iterative walk generation yields the identical crawl") {
+    // broadcastMaxEdges=0 forces the join-based scale path for every
+    // promotion — final state must be byte-identical to the spec
+    val dir = Files.createTempDirectory("crawl-iter").toString
+    runEngine(4, dir, broadcastMaxEdges = 0L)
+    val (nodes, _, walks, seen) = engineState(dir)
+    val specNodes = specResult.nodes.map { case (id, st) =>
+      id -> ((st.url, st.status, st.addedRound, st.promotedRound, st.demotedRound))
+    }
+    // spec ran `rounds` rounds; rebuild a 4-round spec run for comparison
+    val pv = pageRows.map(p => SequentialSpec.PageV(p.url, p.warc_ts.getTime / 1000, p.html, p.text))
+    val spec4 = SequentialSpec.run(pv, seeds, params, 4)
+    assert(seen === spec4.seen)
+    assert(nodes === spec4.nodes.map { case (id, st) =>
+      id -> ((st.url, st.status, st.addedRound, st.promotedRound, st.demotedRound))
+    })
+    assert(walks === spec4.walks.map { case (k, v) => k -> v.toSeq })
+    val _ = specNodes
   }
 
   test("resumability: stop after round 3, resume, final state identical") {
