@@ -1,0 +1,83 @@
+package graft.app
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Rng, Sessions}
+
+/** Frontier-scheduler throughput at scale — the north-star metric's subject
+  * ("URLs scheduled/sec on a 10^10-URL frontier"): drives the EXACT
+  * scheduling operator the engine uses (graft.frontier.Politeness.schedule:
+  * seen-set anti-join → rank join → salted politeness window → batch cut)
+  * over a deterministic synthetic frontier, marking each batch fetched so
+  * every iteration schedules fresh URLs.
+  *
+  * One leg per JVM (see tools/run_scaling.sh rationale).
+  * Args: <cores> [frontierSize] [batch] [iters] [hosts]
+  */
+object SchedulerBench {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val n = if (args.length > 1) args(1).toInt else 10000000
+    val batch = if (args.length > 2) args(2).toInt else 100000
+    val iters = if (args.length > 3) args(3).toInt else 5
+    val hosts = if (args.length > 4) args(4).toInt else 5000
+
+    val spark = Sessions.local(cores, appName = s"scheduler-bench-$cores")
+    import spark.implicits._
+
+    val t0 = System.nanoTime()
+    // deterministic frontier: mega-host h0 owns ~30% of URLs (skew), the
+    // rest spread over `hosts`; ~30% of nodes carry visit mass
+    val nodes = spark
+      .range(0, n.toLong, 1, cores * 4)
+      .map { i =>
+        val h = if (i % 10 < 3) 0L else 1L + Math.floorMod(Rng.hash(9L, i, 0, 0), (hosts - 1).toLong)
+        (s"https://h$h.example/p$i", i, s"h$h.example", "inactive")
+      }
+      .toDF("url", "id", "host", "status")
+      .persist()
+    val visits = spark
+      .range(0, n.toLong, 1, cores * 4)
+      .filter(i => i % 10 < 3)
+      .map(i => (i, 1L + Math.floorMod(Rng.hash(10L, i, 0, 0), 100L)))
+      .toDF("node", "count")
+      .persist()
+    val enqueued = nodes.select($"url").persist()
+    var fetched = nodes.filter($"id" % 10 === 4).select($"url").localCheckpoint(true)
+    nodes.count(); visits.count(); enqueued.count()
+    val totalVisits = visits.agg(sum($"count")).first().getLong(0)
+    val hostBudget = math.max(batch * 3 / hosts, 10)
+    val prepSec = (System.nanoTime() - t0) / 1e9
+
+    // warm-up iteration (excluded)
+    val warm = graft.frontier.Politeness
+      .schedule(nodes, visits, totalVisits, enqueued, fetched, batch, hostBudget)
+      .select($"url")
+      .localCheckpoint(true)
+    fetched = fetched.union(warm).localCheckpoint(true)
+
+    val fps = Vector.newBuilder[String]
+    val t1 = System.nanoTime()
+    var i = 0
+    var scheduled = 0L
+    while (i < iters) {
+      val b = graft.frontier.Politeness
+        .schedule(nodes, visits, totalVisits, enqueued, fetched, batch, hostBudget)
+        .select($"url")
+        .localCheckpoint(true)
+      val cnt = b.count()
+      scheduled += cnt
+      val first = b.orderBy($"url").first().getString(0)
+      fps += s"$i:$first:$cnt"
+      fetched = fetched.union(b).localCheckpoint(true)
+      i += 1
+    }
+    val wallSec = (System.nanoTime() - t1) / 1e9
+    println(
+      s"""{"leg":{"cores":$cores,"frontier":$n,"batch":$batch,"iters":$iters,""" +
+        s""""urlsScheduled":$scheduled,"wallSec":$wallSec,"prepSec":$prepSec,""" +
+        s""""urlsPerSec":${scheduled / wallSec},"fingerprint":"${fps.result().mkString("|")}"}}"""
+    )
+    spark.stop()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-safe politeness window (SURVEY.md §4 item 2).
+  *
+  * The per-host budget cut is a `row_number() over (partition by host)` —
+  * and the synthetic corpus deliberately gives one mega-host ~30% of all
+  * URLs, so a single window partition would process ~30% of the frontier on
+  * one task. This two-phase form salts the heavy pass:
+  *
+  *   stage 1: rank within (host, salt = pmod(xxhash64(url), S)) and keep
+  *            the top k per salted bucket — a mega-host spreads over S
+  *            tasks; every survivor of the exact per-host top-k is
+  *            necessarily in its bucket's top-k, so no candidate is lost;
+  *   stage 2: exact row_number over host on the ≤ S·k survivors.
+  *
+  * Result is IDENTICAL to the single-window form (asserted by
+  * PolitenessSpec and by the engine's byte-equivalence suite).
+  */
+object Politeness {
+
+  /** THE frontier scheduling query (north-star metric: URLs scheduled/sec):
+    * pending = enqueued ∖ fetched (J9 anti-join), rank = visits/total,
+    * skew-salted per-host budget window (W3), global rank-ordered batch cut.
+    * Used verbatim by the round driver and by SchedulerBench.
+    *
+    * Expects `nodes` with (url, id, host, status) and `visits` with
+    * (node, count).
+    */
+  def schedule(
+      nodes: DataFrame,
+      visits: DataFrame,
+      totalVisits: Long,
+      enqueued: DataFrame,
+      fetched: DataFrame,
+      batch: Int,
+      hostBudget: Int
+  ): DataFrame = {
+    val pending = enqueued.join(fetched, Seq("url"), "left_anti")
+    val ranked = pending
+      .join(nodes, Seq("url"))
+      .join(visits, col("id") === col("node"), "left")
+      .withColumn(
+        "rank",
+        if (totalVisits == 0L) lit(0.0)
+        else coalesce(col("count"), lit(0L)).cast("double") / lit(totalVisits.toDouble)
+      )
+      .select(col("url"), col("id"), col("host"), col("rank"), col("status"))
+    hostCappedTopK(ranked, col("host"), Seq(col("rank").desc, col("url").asc), col("url"), hostBudget)
+      .orderBy(col("rank").desc, col("url").asc)
+      .limit(batch)
+      .select(col("url"), col("id"), col("status"))
+  }
+
+  /** Rows whose exact per-host rank (by `order`) is ≤ k. `unique` must be a
+    * deterministic tiebreaker column making the order total (the url).
+    */
+  def hostCappedTopK(
+      df: DataFrame,
+      host: Column,
+      order: Seq[Column],
+      unique: Column,
+      k: Int,
+      salts: Int = 16
+  ): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(unique), lit(salts)))
+    val w1 = Window.partitionBy(host, col("__salt")).orderBy(order: _*)
+    val survivors = salted
+      .withColumn("__srn", row_number().over(w1))
+      .filter(col("__srn") <= k)
+      .drop("__salt", "__srn")
+    val w2 = Window.partitionBy(host).orderBy(order: _*)
+    survivors
+      .withColumn("__hrn", row_number().over(w2))
+      .filter(col("__hrn") <= k)
+      .drop("__hrn")
+  }
+}

@@ -15,13 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait TableIO {
   def write(round: Long, name: String, df: DataFrame): Unit
   def read(round: Long, name: String): DataFrame
+  def exists(round: Long, name: String): Boolean
   def commitRound(round: Long): Unit
 
   /** Largest round with a commit marker, or -1. */
   def lastCompleteRound(): Long
 }
 
-class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
+class ParquetTableIO(spark: SparkSession, val root: String) extends TableIO {
   private val fs = org.apache.hadoop.fs.FileSystem.get(
     new java.net.URI(root),
     spark.sparkContext.hadoopConfiguration
@@ -35,6 +36,9 @@ class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
 
   override def read(round: Long, name: String): DataFrame =
     spark.read.parquet(s"${roundDir(round)}/$name")
+
+  override def exists(round: Long, name: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"${roundDir(round)}/$name/_SUCCESS"))
 
   override def commitRound(round: Long): Unit = {
     val out = fs.create(marker(round), true)

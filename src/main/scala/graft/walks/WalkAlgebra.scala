@@ -126,6 +126,21 @@ object WalkAlgebra extends Serializable {
     path.toArray
   }
 
+  /** First index where two walks differ, -1 if equal. Reference Divergence
+    * (walks.go:95-108) — used there to minimize store writes (O1); columnar
+    * overwrite makes that unnecessary, kept as the test helper the reference
+    * also uses.
+    */
+  def divergence(w1: Array[Long], w2: Array[Long]): Int = {
+    val min = math.min(w1.length, w2.length)
+    var i = 0
+    while (i < min) {
+      if (w1(i) != w2(i)) return i
+      i += 1
+    }
+    if (w1.length == w2.length) -1 else min
+  }
+
   /** First index holding a value already seen earlier, or -1.
     * Reference findCycle, walks.go:279-290.
     */

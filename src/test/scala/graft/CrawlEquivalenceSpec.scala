@@ -47,12 +47,17 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     SequentialSpec.run(pv, seeds, params, rounds)
   }
 
-  def runEngine(maxRounds: Int, dir: String, broadcastMaxEdges: Long = 10000000L): CrawlEngine.Result = {
+  def runEngine(
+      maxRounds: Int,
+      dir: String,
+      broadcastMaxEdges: Long = 10000000L,
+      compactOnExit: Boolean = true
+  ): CrawlEngine.Result = {
     import spark.implicits._
     val pagesDF = spark.createDataset(pageRows).toDF
     val extracted = CrawlEngine.extractPages(spark, pagesDF).persist()
     val io = new ParquetTableIO(spark, dir)
-    val driver = new RoundDriver(spark, io, params, broadcastMaxEdges)
+    val driver = new RoundDriver(spark, io, params, broadcastMaxEdges, compactOnExit = compactOnExit)
     if (io.lastCompleteRound() < 0) driver.init(seeds)
     val res = driver.run(extracted, maxRounds)
     extracted.unpersist()
@@ -151,6 +156,22 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     runEngine(3, dirB) // partial run…
     runEngine(rounds, dirB) // …resumed from the round-3 checkpoint
     assert(engineState(dirA) === engineState(dirB))
+  }
+
+  test("crash-resume: delta-log replay (no exit compaction) reproduces the identical crawl") {
+    // compactOnExit=false simulates a crash between compactions: the resume
+    // must rebuild state purely from the per-round delta logs
+    val dirA = Files.createTempDirectory("crawl-ref2").toString
+    val dirB = Files.createTempDirectory("crawl-crash").toString
+    runEngine(rounds, dirA)
+    runEngine(3, dirB, compactOnExit = false) // "crash" after round 3 deltas
+    runEngine(rounds, dirB) // resume via replay
+    val (nA, aA, wA, sA) = engineState(dirA)
+    val (nB, aB, wB, sB) = engineState(dirB)
+    assert(sA === sB, "seen set differs")
+    assert(nA === nB, "node table differs")
+    assert(aA === aB, "adjacency differs")
+    assert(wA === wB, "walk store differs")
   }
 
   test("walk↔visit-index consistency + leak/demotion invariants (e2e_test.go analogs)") {
