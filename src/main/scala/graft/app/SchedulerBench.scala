@@ -23,6 +23,10 @@ object SchedulerBench {
     val hosts = if (args.length > 4) args(4).toInt else 5000
 
     val spark = Sessions.local(cores, appName = s"scheduler-bench-$cores")
+    // AQE's post-shuffle coalescing targets ~64MB partitions, which caps a
+    // 10M-row shuffle at ~10 tasks regardless of cores — fine for a real
+    // cluster's task overhead, wrong for a parallelism-scaling measurement.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     import spark.implicits._
 
     val t0 = System.nanoTime()
@@ -56,7 +60,7 @@ object SchedulerBench {
       .localCheckpoint(true)
     fetched = fetched.union(warm).localCheckpoint(true)
 
-    val fps = Vector.newBuilder[String]
+    val batches = Vector.newBuilder[org.apache.spark.sql.DataFrame]
     val t1 = System.nanoTime()
     var i = 0
     var scheduled = 0L
@@ -65,18 +69,20 @@ object SchedulerBench {
         .schedule(nodes, visits, totalVisits, enqueued, fetched, batch, hostBudget)
         .select($"url")
         .localCheckpoint(true)
-      val cnt = b.count()
-      scheduled += cnt
-      val first = b.orderBy($"url").first().getString(0)
-      fps += s"$i:$first:$cnt"
+      scheduled += b.count()
+      batches += b
       fetched = fetched.union(b).localCheckpoint(true)
       i += 1
     }
     val wallSec = (System.nanoTime() - t1) / 1e9
+    // determinism fingerprint computed OUTSIDE the timed window
+    val fps = batches.result().zipWithIndex.map { case (b, j) =>
+      s"$j:${b.orderBy($"url").first().getString(0)}:${b.count()}"
+    }
     println(
       s"""{"leg":{"cores":$cores,"frontier":$n,"batch":$batch,"iters":$iters,""" +
         s""""urlsScheduled":$scheduled,"wallSec":$wallSec,"prepSec":$prepSec,""" +
-        s""""urlsPerSec":${scheduled / wallSec},"fingerprint":"${fps.result().mkString("|")}"}}"""
+        s""""urlsPerSec":${scheduled / wallSec},"fingerprint":"${fps.mkString("|")}"}}"""
     )
     spark.stop()
   }
