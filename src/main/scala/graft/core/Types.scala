@@ -62,6 +62,19 @@ case class DeltaRow(node: Long, remove: Array[Long], keep: Array[Long], add: Arr
   def newList: Array[Long] = keep ++ add
 }
 
+/** A leak-detection record (reference `leaks.Record{Pubkey, DetectedAt,
+  * Status, Proof}`, /root/reference/pkg/leaks/leaks.go:146-151): `confirmed`
+  * = a checksum-valid secret was found in the page text, `suspected` = a
+  * pattern match that failed validation. `proofs` are md5 digests of the
+  * matched candidates (never the raw secrets).
+  */
+case class LeakRecord(id: Long, url: String, detectedRound: Long, status: String, proofs: Array[String])
+
+object LeakStatus {
+  val Confirmed = "confirmed"
+  val Suspected = "suspected"
+}
+
 /** Crawl parameters — the analog of the reference's env config
   * (walks.Alpha/N at /root/reference/pkg/walks/walks.go:16-17, fetcher
   * batch at pkg/pipe/fetcher/config.go, arbiter thresholds at

@@ -158,6 +158,27 @@ object Extract extends Serializable {
     out.toArray
   }
 
+  /** Distinct SUSPECTED secrets: pattern matches that fail the checksum
+    * (the reference's `suspected` leak-record tier,
+    * /root/reference/pkg/leaks/leaks.go:146-151).
+    */
+  def findSuspects(text: String): Array[String] = {
+    if (text == null || !text.contains("nsec1")) return Array.empty
+    val m = NsecRe.matcher(text)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (m.find()) { val c = m.group(); if (!validBech32Secret(c)) out += c }
+    out.toArray
+  }
+
+  /** Lowercase md5 hex — the driver-side twin of Spark's `md5(binary)`
+    * column (used for the deterministic page-version tiebreaker and leak
+    * proofs; proven equal by ExtractSpec).
+    */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    d.map(b => f"$b%02x").mkString
+  }
+
   // ---------- UDF registrations (deterministic by construction) ----------
 
   import org.apache.spark.sql.SparkSession
@@ -177,6 +198,10 @@ object Extract extends Serializable {
     spark.udf.register(
       "find_secrets",
       (text: String) => findSecrets(text)
+    )
+    spark.udf.register(
+      "find_suspects",
+      (text: String) => findSuspects(text)
     )
   }
 }

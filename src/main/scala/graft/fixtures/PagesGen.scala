@@ -133,6 +133,13 @@ object PagesGen extends Serializable {
   def writeParquet(spark: SparkSession, cfg: Config, dir: String, partitions: Int = 32): Unit =
     generate(spark, cfg, partitions).write.mode("overwrite").parquet(dir)
 
+  /** Deterministic robots.txt disallow rules: host h disallows the path
+    * prefix "/p{7h+3}" (that pid and its decimal extensions, when they live
+    * on host h). Used by the robots-gate equivalence fixture.
+    */
+  def robotsRules(cfg: Config): Seq[(String, String)] =
+    (0 until cfg.hosts).map(h => (s"h$h.example", s"/p${7 * h + 3}"))
+
   /** Seed URLs: first page of each of the first n distinct hosts
     * (FIXTURES.md §2: 3 seeds into distinct hosts).
     */

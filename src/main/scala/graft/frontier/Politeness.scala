@@ -23,9 +23,21 @@ import org.apache.spark.sql.functions._
 object Politeness {
 
   /** THE frontier scheduling query (north-star metric: URLs scheduled/sec):
-    * pending = enqueued ∖ fetched (J9 anti-join), rank = visits/total,
-    * skew-salted per-host budget window (W3), global rank-ordered batch cut.
-    * Used verbatim by the round driver and by SchedulerBench.
+    * pending = enqueued ∖ fetched (bloom-prefiltered J9 anti-join), robots
+    * gate, rank = visits/total, skew-salted per-host budget window (W3),
+    * global rank-ordered batch cut. Used verbatim by the round driver and
+    * by SchedulerBench.
+    *
+    * `seenBloom`: a bloom filter over the fetched set (north_star's
+    * "distributed bloom/cuckoo URL-seen set" — the reference's LRU seen
+    * cache, /root/reference/pkg/pipe/firehose/firehose.go:20,61-64).
+    * Bloom-negative urls are DEFINITELY unseen and skip the exact anti-join
+    * entirely; only bloom-positive urls (seen + false positives) take the
+    * exact path — the result set is identical, but the shuffled anti-join
+    * side shrinks from |enqueued| to ~|fetched|·(1+fpp).
+    *
+    * `robots`: (host, prefix) disallow rules; a pending url whose path
+    * starts with a disallowed prefix for its host is never scheduled.
     *
     * Expects `nodes` with (url, id, host, status) and `visits` with
     * (node, count).
@@ -37,11 +49,30 @@ object Politeness {
       enqueued: DataFrame,
       fetched: DataFrame,
       batch: Int,
-      hostBudget: Int
+      hostBudget: Int,
+      seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      robots: Option[DataFrame] = None
   ): DataFrame = {
-    val pending = enqueued.join(fetched, Seq("url"), "left_anti")
-    val ranked = pending
-      .join(nodes, Seq("url"))
+    val pending = seenBloom match {
+      case Some(bf) =>
+        val bBloom = enqueued.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((u: String) => bBloom.value.mightContainString(u))
+        val definitelyNew = enqueued.filter(!mightContain(col("url")))
+        val maybeSeen = enqueued.filter(mightContain(col("url"))).join(fetched, Seq("url"), "left_anti")
+        definitelyNew.union(maybeSeen)
+      case None => enqueued.join(fetched, Seq("url"), "left_anti")
+    }
+    val withHost = pending.join(nodes, Seq("url"))
+    val gated = robots match {
+      case Some(rules) =>
+        val r = broadcast(rules.select(col("host").as("rhost"), col("prefix").as("rprefix")))
+        withHost
+          .withColumn("__path", regexp_replace(col("url"), "^https?://[^/]*", ""))
+          .join(r, withHost("host") === col("rhost") && col("__path").startsWith(col("rprefix")), "left_anti")
+          .drop("__path")
+      case None => withHost
+    }
+    val ranked = gated
       .join(visits, col("id") === col("node"), "left")
       .withColumn(
         "rank",

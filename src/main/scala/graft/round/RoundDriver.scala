@@ -2,13 +2,12 @@ package graft.round
 
 import scala.collection.mutable
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.extract.Extract
-import graft.walks.WalkAlgebra
+import graft.walks.{SubgraphWalks, WalkAlgebra}
 
 /** The distributed crawl-and-rank engine: a deterministic round loop over
   * columnar state tables, mirroring graft.spec.SequentialSpec 1:1 (that
@@ -25,6 +24,14 @@ import graft.walks.WalkAlgebra
   *    gives. Every committed round is resumable: loadState() replays the
   *    delta logs on top of the latest compaction (crash path covered by
   *    test via compactOnExit=false).
+  *  - NO driver-held graph. The edges table is the only adjacency truth;
+  *    per-wave deltas are computed with distributed joins, and walk
+  *    repair/generation resolve the (tiny) sub-adjacency they actually
+  *    visit on demand from the edges table (graft.walks.SubgraphWalks).
+  *    Per-round driver-side data is O(batch + changes) — the fetch batch
+  *    (like the reference's, /root/reference/pkg/pipe/fetcher/fetcher.go:
+  *    74-107), the per-wave delta map, and the visited sub-adjacency —
+  *    never O(crawled graph).
   *  - Visit counts (the rank numerator) are maintained INCREMENTALLY and
   *    exactly from the walk deltas — the reference keeps totalVisits and a
   *    visit index incrementally for the same reason
@@ -33,33 +40,38 @@ import graft.walks.WalkAlgebra
   *  - totalWalks is pure arithmetic: every active node owns exactly
   *    walksPerNode walks, so repairs don't change the count and
   *    promote/demote/leak shift it by ±walksPerNode each.
-  *  - Walk repair emits ONLY changed walks (flatMap over the cached store),
-  *    merged back with a broadcast anti-join + union; the store is
-  *    re-materialized once per round via an eager localCheckpoint — no
-  *    per-round parquet rewrite of the full store.
-  *  - Per-round driver-side data is O(batch) (like the reference's fetch
-  *    batch, /root/reference/pkg/pipe/fetcher/fetcher.go:74-107) plus the
-  *    crawled-subgraph adjacency (grows with crawl progress, not corpus
-  *    size; broadcast while small, IterativeWalker beyond
-  *    broadcastMaxEdges).
+  *  - Walk repair emits ONLY changed walks (a narrow arrays_overlap scan of
+  *    the cached store), merged back with a broadcast anti-join + union;
+  *    the store is re-materialized once per round via an eager
+  *    localCheckpoint — no per-round parquet rewrite of the full store.
+  *  - A driver-side bloom filter over the seen set pre-filters the
+  *    scheduling anti-join (exact fallback on positives — results are
+  *    identical); it is maintained incrementally from each round's batch
+  *    and rebuilt from the fetched table on resume.
   */
 object CrawlEngine {
 
-  /** One-time heavy scan of the pages table: html → outlinks + leak flag,
-    * versions numbered per url in warc_ts order. At 100 TB this is the only
-    * pass that touches the `html` binary column (column pruning keeps every
-    * later round on the light columns), so it runs ONCE up front and lands
+  /** One-time heavy scan of the pages table: html → outlinks + leak flags,
+    * versions numbered per url in (warc_ts, md5(html)) order — the md5
+    * tiebreaker keeps version numbering deterministic even if two versions
+    * of a url share a timestamp. At 100 TB this is the only pass that
+    * touches the `html` binary column (column pruning keeps every later
+    * round on the light columns), so it runs ONCE up front and lands
     * columnar.
     */
   def extractPages(spark: SparkSession, pages: DataFrame): DataFrame = {
     Extract.register(spark)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("url").orderBy("warc_ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url")
+      .orderBy(col("warc_ts"), md5(col("html")))
     pages
       .withColumn("outlinks", expr("extract_outlinks(html, url)"))
       .withColumn("rejected", expr(s"size(outlinks) > ${Extract.MaxOutlinks} OR length(html) > ${Extract.MaxContentBytes}"))
-      .withColumn("has_secret", expr("size(find_secrets(text)) > 0"))
+      .withColumn("secret_proofs", expr("transform(find_secrets(text), s -> md5(cast(s as binary)))"))
+      .withColumn("suspect_proofs", expr("transform(find_suspects(text), s -> md5(cast(s as binary)))"))
+      .withColumn("has_secret", size(col("secret_proofs")) > 0)
       .withColumn("ver", row_number().over(w))
-      .select("url", "ver", "outlinks", "rejected", "has_secret")
+      .select("url", "ver", "outlinks", "rejected", "has_secret", "secret_proofs", "suspect_proofs")
   }
 
   case class Trace(
@@ -79,9 +91,10 @@ class RoundDriver(
     spark: SparkSession,
     io: TableIO,
     params: CrawlParams,
-    /** Above this many edges the promoted-node walk generation switches
-      * from broadcast adjacency to the join-based IterativeWalker (the
-      * 10^10-frontier path); results are identical either way.
+    /** Above this many total edges the promoted-node walk generation
+      * switches from the resolver-broadcast path to the join-based
+      * IterativeWalker (the 10^10-frontier path); results are identical
+      * either way.
       */
     broadcastMaxEdges: Long = 10000000L,
     /** Full-snapshot cadence; rounds in between write delta logs only. */
@@ -90,7 +103,11 @@ class RoundDriver(
       * full tables at the last round; disable to exercise the crash-resume
       * replay path).
       */
-    compactOnExit: Boolean = true
+    compactOnExit: Boolean = true,
+    /** robots.txt disallow rules (host, path-prefix); urls matching a rule
+      * for their host are never scheduled (north_rule robots gate).
+      */
+    robots: Option[DataFrame] = None
 ) {
   import spark.implicits._
   import CrawlEngine._
@@ -108,19 +125,51 @@ class RoundDriver(
     }
   }
 
-  /** Mutable in-memory engine state (Datasets persisted across rounds). */
+  /** Mutable in-memory engine state (Datasets persisted across rounds).
+    * Driver-side scalars only — no graph-sized driver structures.
+    */
   private case class State(
       var nodes: DataFrame,
-      var edges: DataFrame, // (src, dst)
+      var edges: DataFrame, // (src, dst) — the only adjacency truth
       var walks: Dataset[WalkRow],
       var fetched: DataFrame, // (url)
       var enqueued: DataFrame, // (url)
       var visits: DataFrame, // (node, count) — exact incremental
+      var leaks: DataFrame, // (id, url, detectedRound, status, proofs)
       var nextId: Long,
       var totalWalks: Long,
+      var totalEdges: Long,
       var fetchedCount: Long,
-      val adjacency: mutable.Map[Long, Array[Long]]
+      var enqueuedCount: Long,
+      var seenBloom: org.apache.spark.util.sketch.BloomFilter
   )
+
+  private def paramsDF: DataFrame =
+    Seq(
+      (
+        params.seed,
+        params.alpha,
+        params.walksPerNode,
+        params.batch,
+        params.hostBudget,
+        params.promotion,
+        params.demotion,
+        params.activation,
+        params.promotionWait,
+        params.maxWalkSteps
+      )
+    ).toDF(
+      "seed",
+      "alpha",
+      "walksPerNode",
+      "batch",
+      "hostBudget",
+      "promotion",
+      "demotion",
+      "activation",
+      "promotionWait",
+      "maxWalkSteps"
+    )
 
   /** Initialize round-0 state from the seed list (reference InitGraph,
     * /root/reference/pkg/pipe/pipe.go:50-71: add + promote + enqueue).
@@ -138,13 +187,30 @@ class RoundDriver(
       }
     }
     val walksDF = spark.createDataset(walks).toDF
+    io.write(0L, "walk_params", paramsDF)
     io.write(0L, "nodes", spark.createDataset(nodes).toDF)
     io.write(0L, "edges", spark.emptyDataset[EdgeRow].toDF)
     io.write(0L, "walks", walksDF)
     io.write(0L, "fetched", Seq.empty[String].toDF("url"))
     io.write(0L, "enqueued", seeds.toDF("url"))
     io.write(0L, "visits", walksDF.select(explode($"path").as("node")).groupBy("node").count())
+    io.write(0L, "leaks", spark.emptyDataset[LeakRecord].toDF)
     io.commitRound(0L)
+  }
+
+  /** Fail resume when the checkpoint was written with different walk
+    * parameters — a silent mismatch would corrupt determinism (reference
+    * analog: walks store header check,
+    * /root/reference/pkg/regraph/walks.go:36-81).
+    */
+  private def checkWalkParams(): Unit = {
+    if (!io.exists(0L, "walk_params")) return
+    val stored = io.read(0L, "walk_params").collect().head
+    val cur = paramsDF.collect().head
+    require(
+      stored == cur,
+      s"walk_params mismatch: checkpoint was written with $stored, resume requested with $cur"
+    )
   }
 
   /** Load state at `target`: latest full snapshot ≤ target + delta replay
@@ -152,12 +218,14 @@ class RoundDriver(
     * so replay is a no-op there).
     */
   private def loadState(target: Long): State = {
+    checkWalkParams()
     val base = (target to 0L by -1L).find(r => io.exists(r, "walks")).getOrElse(0L)
     var nodes = io.read(base, "nodes")
     var edges = io.read(base, "edges")
     var walks = io.read(base, "walks")
     var fetched = io.read(base, "fetched")
     var enqueued = io.read(base, "enqueued")
+    var leaks = if (io.exists(base, "leaks")) io.read(base, "leaks") else spark.emptyDataset[LeakRecord].toDF
     ((base + 1) to target).foreach { r =>
       if (io.exists(r, "nodes_added")) nodes = nodes.union(io.read(r, "nodes_added"))
       if (io.exists(r, "nodes_updates")) {
@@ -188,24 +256,40 @@ class RoundDriver(
       if (io.exists(r, "walks_added")) walks = walks.union(io.read(r, "walks_added"))
       if (io.exists(r, "fetched_add")) fetched = fetched.union(io.read(r, "fetched_add"))
       if (io.exists(r, "enqueued_add")) enqueued = enqueued.union(io.read(r, "enqueued_add")).dropDuplicates("url")
+      if (io.exists(r, "leaks_add")) leaks = leaks.union(io.read(r, "leaks_add"))
     }
     val nodesC = nodes.localCheckpoint(true)
     val edgesC = edges.localCheckpoint(true)
     val walksC = walks.as[WalkRow].localCheckpoint(true)
     val fetchedC = fetched.localCheckpoint(true)
     val enqueuedC = enqueued.localCheckpoint(true)
+    val leaksC = leaks.localCheckpoint(true)
     val visits = io.read(target, "visits").localCheckpoint(true)
     val nextId = nodesC.agg(max($"id")).as[Option[Long]].first().getOrElse(-1L) + 1
     val totalWalks = walksC.count()
+    val totalEdges = edgesC.count()
     val fetchedCount = fetchedC.count()
-    val adjacency = mutable.Map.empty[Long, Array[Long]]
-    edgesC
-      .as[EdgeRow]
-      .groupByKey(_.src)
-      .mapGroups((src, it) => (src, it.map(_.dst).toArray.sorted))
-      .collect()
-      .foreach { case (s, a) => adjacency(s) = a }
-    State(nodesC, edgesC, walksC, fetchedC, enqueuedC, visits, nextId, totalWalks, fetchedCount, adjacency)
+    val enqueuedCount = enqueuedC.count()
+    // distributed one-pass bloom rebuild over the seen set (resume only;
+    // rounds maintain it incrementally from the batch)
+    val bloom =
+      if (fetchedCount == 0) org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)
+      else fetchedC.stat.bloomFilter("url", math.max(fetchedCount * 2, 100000L), 0.01)
+    State(
+      nodesC,
+      edgesC,
+      walksC,
+      fetchedC,
+      enqueuedC,
+      visits,
+      leaksC,
+      nextId,
+      totalWalks,
+      totalEdges,
+      fetchedCount,
+      enqueuedCount,
+      bloom
+    )
   }
 
   /** Run rounds [lastComplete+1 .. maxRounds]. */
@@ -240,6 +324,7 @@ class RoundDriver(
     io.write(round, "walks", st.walks.toDF)
     io.write(round, "fetched", st.fetched)
     io.write(round, "enqueued", st.enqueued)
+    io.write(round, "leaks", st.leaks)
     io.commitRound(round) // idempotent
   }
 
@@ -256,47 +341,55 @@ class RoundDriver(
   private def runRound(st: State, round: Long, extracted: DataFrame): Option[Trace] = {
     val t0 = System.currentTimeMillis()
 
-    // ---- 1./2. pending + politeness-capped priority cut (J9 anti-join +
-    // W3 window). Rank = exact incremental visits / totalVisits.
+    // ---- 1./2. pending + politeness-capped priority cut (J9 anti-join,
+    // bloom-prefiltered, robots-gated, W3 salted window). Rank = exact
+    // incremental visits / totalVisits.
     val totalVisits0 = st.visits.agg(sum($"count")).as[Option[Long]].first().getOrElse(0L)
     val batchRows = phase(round, "schedule") {
       graft.frontier.Politeness
-        .schedule(st.nodes, st.visits, totalVisits0, st.enqueued, st.fetched, params.batch, params.hostBudget)
+        .schedule(
+          st.nodes,
+          st.visits,
+          totalVisits0,
+          st.enqueued,
+          st.fetched,
+          params.batch,
+          params.hostBudget,
+          seenBloom = Some(st.seenBloom),
+          robots = robots
+        )
         .collect()
     }
     if (batchRows.isEmpty) return None
 
     val batchUrls: Vector[String] = batchRows.map(_.getString(0)).toVector
     val batchIds: Map[String, Long] = batchRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-
-    // ---- 3. fetch versions of the batch (broadcast join, never a giant IN
-    // list — those cost seconds of serial driver analysis per round)
-    val batchDF = broadcast(spark.createDataset(batchUrls).toDF("url"))
-    val verRows = phase(round, "fetch") {
-      extracted
-        .join(batchDF, Seq("url"))
-        .select($"url", $"ver", $"outlinks", $"rejected", $"has_secret")
-        .collect()
-    }
-    val versionsByUrl: Map[String, Vector[(Array[String], Boolean, Boolean)]] =
-      verRows
-        .groupBy(_.getString(0))
-        .view
-        .mapValues(
-          _.sortBy(_.getInt(1))
-            .map(r => (r.getSeq[String](2).toArray, r.getBoolean(3), r.getBoolean(4)))
-            .toVector
-        )
-        .toMap
-
     val statusById: mutable.Map[Long, String] =
       mutable.Map(batchRows.map(r => r.getLong(1) -> r.getString(2)): _*)
-    val urlIdCache = mutable.Map.empty[String, Long] ++ batchIds
+
+    // ---- 3. fetch versions of the batch (broadcast join, never a giant IN
+    // list). Outlinks STAY DISTRIBUTED — only per-url version/leak summary
+    // rows (O(batch)) reach the driver, like the reference's fetch batch.
+    val batchDF = broadcast(
+      spark.createDataset(batchRows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getString(2)))).toDF("url", "id", "status")
+    )
+    val batchExtracted = extracted
+      .join(batchDF, Seq("url"))
+      .select($"url", $"id", $"status", $"ver", $"outlinks", $"rejected", $"has_secret", $"secret_proofs", $"suspect_proofs")
+      .persist()
+    val verInfo = phase(round, "fetch") {
+      batchExtracted
+        .select($"url", $"id", $"ver", $"rejected", $"has_secret", size($"suspect_proofs") > 0)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+    }
 
     // per-round delta logs (all O(changes))
-    val nodesAdded = mutable.ArrayBuffer.empty[NodeRow]
+    val nodesAddedParts = mutable.ArrayBuffer.empty[DataFrame]
+    var newNodesCount = 0L
     val nodeUpdateParts = mutable.ArrayBuffer.empty[DataFrame] // (id, status, promotedRound?, demotedRound?)
     val touchedAuthors = mutable.LinkedHashSet.empty[Long] // authors whose adjacency changed
+    val roundAdj = mutable.Map.empty[Long, Array[Long]] // FINAL adjacency of touched authors (O(changes))
     val visitDeltaParts = mutable.ArrayBuffer.empty[DataFrame] // (node, d)
     // replay logs are NET-of-round: ids touched (replaced/removed/created)
     // plus the FINAL version of each touched id — a walk repaired twice in
@@ -307,118 +400,178 @@ class RoundDriver(
     val walkEventParts = mutable.ArrayBuffer.empty[DataFrame] // (seq, isAdd, walkId, start, path)
     var enqueuedAdd: Option[DataFrame] = None
     val tmpCaches = mutable.ArrayBuffer.empty[Dataset[_]]
+    tmpCaches += batchExtracted
 
-    // ---- 4. waves of page versions
+    // per-round on-demand adjacency cache over the distributed edges table
+    // (reused across waves; delta authors are overwritten in place) —
+    // driver memory O(nodes touched this round)
+    val resolver = new SubgraphWalks.Resolver(spark, () => st.edges)
+
+    // ---- 4. waves of page versions (wave w = (w+1)-th version per url)
     var walksChanged = 0L
     var newEdgesCount = 0L
     var removedEdgesCount = 0L
-    val maxWaves = versionsByUrl.values.map(_.length).foldLeft(0)(math.max)
+    val maxWaves = verInfo.map(_._3).foldLeft(0)(math.max)
+    require(
+      maxWaves <= 14,
+      s"$maxWaves page versions for one url exceed the 14-wave RNG key budget (wave 15 is reserved for generation)"
+    )
     var wave = 0
     while (wave < maxWaves) {
-      val waveItems: Vector[(Long, Array[String])] = batchUrls.flatMap { u =>
-        versionsByUrl.get(u).flatMap(_.lift(wave)).flatMap { case (links, rejected, _) =>
-          if (rejected) None else Some((batchIds(u), links))
-        }
-      }
-      // resolve link urls → ids against the distributed nodes table
-      val allLinks = waveItems.flatMap(_._2).distinct.filterNot(urlIdCache.contains)
-      if (allLinks.nonEmpty) {
-        spark
-          .createDataset(allLinks)
-          .toDF("url")
-          .join(st.nodes, Seq("url"))
-          .select($"url", $"id")
-          .collect()
-          .foreach(r => urlIdCache(r.getString(0)) = r.getLong(1))
-      }
-      // deterministic id assignment for unknown urls of ACTIVE authors
-      // (sorted-url order, prevMax+1.. — SURVEY.md §1.3; unknowns of
-      // inactive authors are dropped, engine.go:399-414)
-      val unknown = waveItems
-        .filter { case (id, _) => statusById.getOrElse(id, NodeStatus.Inactive) == NodeStatus.Active }
-        .flatMap(_._2)
-        .distinct
-        .filterNot(urlIdCache.contains)
-        .sorted
-      val newNodeRows = unknown.map { u =>
-        val id = st.nextId; st.nextId += 1
-        urlIdCache(u) = id
-        NodeRow(id, u, Extract.hostOf(u), NodeStatus.Inactive, round, -1L, -1L)
-      }
-      nodesAdded ++= newNodeRows
-      if (newNodeRows.nonEmpty) st.nodes = st.nodes.union(spark.createDataset(newNodeRows).toDF)
-
-      // per-author deltas (reference computeDelta, engine.go:372-425)
-      val deltas = mutable.Map.empty[Long, DeltaRow]
-      waveItems.foreach { case (author, links) =>
-        val newFollows = links
-          .flatMap(u => urlIdCache.get(u))
-          .filterNot(_ == author)
-          .distinct
-          .sorted
-        val old = st.adjacency.getOrElse(author, Array.empty[Long])
-        val d = WalkAlgebra.newDelta(author, old, newFollows)
-        if (d.remove.nonEmpty || d.add.nonEmpty) {
-          st.adjacency(author) = newFollows
-          deltas(author) = d
-          removedEdgesCount += d.remove.length
-          newEdgesCount += d.add.length
-          touchedAuthors += author
-        }
-      }
-
-      if (deltas.nonEmpty) {
-        val authorsDF = broadcast(spark.createDataset(deltas.keySet.toSeq).toDF("aid"))
-        val newEdgeRows = deltas.keysIterator.flatMap(a => st.adjacency(a).map(dst => EdgeRow(a, dst))).toSeq
-        st.edges = st.edges
-          .join(authorsDF, st.edges("src") === col("aid"), "left_anti")
-          .union(spark.createDataset(newEdgeRows).toDF)
-
-        // distributed walk repair: one narrow scan of the cached store,
-        // emitting ONLY changed walks (plus old paths for visit deltas)
-        val bDeltas: Broadcast[Map[Long, DeltaRow]] = spark.sparkContext.broadcast(deltas.toMap)
-        val bAdj: Broadcast[Map[Long, Array[Long]]] = spark.sparkContext.broadcast(st.adjacency.toMap)
-        val p = params
-        val r = round
-        val wv = wave
-        val changed: Dataset[(WalkRow, Array[Long])] = st.walks
-          .mapPartitions { it =>
-            val adjF: WalkAlgebra.Adjacency = n => bAdj.value.getOrElse(n, Array.empty)
-            it.flatMap { w =>
-              WalkAlgebra
-                .repairWalk(adjF, bDeltas.value, w.walkId, w.path, r, wv, p)
-                .map(np => (WalkRow(w.walkId, w.start, np), w.path))
-            }
-          }
+      // authors owning a wave-th version, oversize-gated (O(batch), driver)
+      val waveAuthors: Seq[Long] =
+        verInfo.collect { case (_, id, v, rejected, _, _) if v == wave + 1 && !rejected => id }
+      if (waveAuthors.nonEmpty) {
+        // distributed link resolution: explode the wave's outlinks, resolve
+        // url→id against the distributed nodes table
+        val waveLinks = batchExtracted
+          .filter($"ver" === wave + 1 && !$"rejected")
+          .select($"id".as("author"), $"status", explode_outer($"outlinks").as("link"))
           .persist()
-        tmpCaches += changed
-        val nChanged = phase(round, s"repair-w$wave") { changed.count() }
-        walksChanged += nChanged
-        if (nChanged > 0) {
-          val changedIds = changed.map(_._1.walkId).toDF("rwid").persist()
-          tmpCaches += changedIds
-          st.walks = st.walks
-            .join(broadcast(changedIds), st.walks("walkId") === $"rwid", "left_anti")
-            .as[WalkRow]
-            .union(changed.map(_._1))
-          walkEventSeq += 1
-          walkEventParts += changed
-            .map(_._1)
-            .toDF
-            .select(lit(walkEventSeq).as("seq"), lit(true).as("isAdd"), $"walkId", $"start", $"path")
-          visitDeltaParts += changed
-            .flatMap { case (nw, old) => old.map(n => (n, -1L)) ++ nw.path.map(n => (n, 1L)) }
-            .toDF("node", "d")
+        tmpCaches += waveLinks
+
+        // deterministic id assignment for unknown urls of ACTIVE authors
+        // (sorted-url order, prevMax+1.. — SURVEY.md §1.3; unknowns of
+        // inactive authors are dropped, engine.go:399-414). Sort +
+        // zipWithIndex is fully distributed; the sorted rank is invariant
+        // to partitioning.
+        val known0 = st.nodes.select($"url".as("link"), $"id".as("lid"))
+        val unknown = waveLinks
+          .join(known0, Seq("link"), "left")
+          .filter($"status" === NodeStatus.Active && $"lid".isNull && $"link".isNotNull)
+          .select($"link")
+          .distinct()
+          .as[String]
+        val base = st.nextId
+        val rnd = round
+        val newNodesDF = spark
+          .createDataset(
+            unknown.rdd
+              .sortBy(identity)
+              .zipWithIndex()
+              .map { case (u, i) => NodeRow(base + i, u, Extract.hostOf(u), NodeStatus.Inactive, rnd, -1L, -1L) }
+          )
+          .toDF
+          .persist()
+        tmpCaches += newNodesDF
+        val nNew = phase(round, s"ids-w$wave") { newNodesDF.count() }
+        if (nNew > 0) {
+          st.nextId += nNew
+          newNodesCount += nNew
+          nodesAddedParts += newNodesDF
+          st.nodes = st.nodes.union(newNodesDF)
+        }
+
+        // per-author deltas (reference computeDelta, engine.go:372-425):
+        // old follows via the resolver (one broadcast semi-join against the
+        // distributed edges table, cached across waves), new follows from
+        // the distributed link resolution; only the O(batch × degree) delta
+        // rows are collected (they are broadcast to walk repair anyway).
+        val newAdjRows = phase(round, s"delta-w$wave") {
+          waveLinks
+            .join(st.nodes.select($"url".as("link"), $"id".as("lid")), Seq("link"), "left")
+            .filter($"lid".isNotNull && $"lid" =!= $"author")
+            .groupBy($"author")
+            .agg(sort_array(collect_set($"lid")).as("newList"))
+            .collect()
+        }
+        val newAdjMap: Map[Long, Array[Long]] =
+          newAdjRows.map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+        val oldLists = resolver.lists(waveAuthors)
+        val deltas: Map[Long, DeltaRow] = waveAuthors.iterator.flatMap { author =>
+          val d = WalkAlgebra.newDelta(
+            author,
+            oldLists(author),
+            newAdjMap.getOrElse(author, Array.empty[Long])
+          )
+          if (d.remove.nonEmpty || d.add.nonEmpty) Some(author -> d) else None
+        }.toMap
+
+        if (deltas.nonEmpty) {
+          deltas.foreach { case (a, d) =>
+            val newSorted = (d.keep ++ d.add).sorted
+            roundAdj(a) = newSorted
+            resolver.update(a, newSorted) // cache stays exact post-update
+            touchedAuthors += a
+            removedEdgesCount += d.remove.length
+            newEdgesCount += d.add.length
+            st.totalEdges += d.add.length - d.remove.length
+          }
+          val touchedDF = broadcast(spark.createDataset(deltas.keySet.toSeq).toDF("aid"))
+          val newEdgeRows = deltas.valuesIterator.flatMap(d => d.newList.map(dst => EdgeRow(d.node, dst))).toSeq
+          st.edges = st.edges
+            .join(touchedDF, st.edges("src") === col("aid"), "left_anti")
+            .union(spark.createDataset(newEdgeRows).toDF)
+
+          // distributed walk repair against the wave's deltas, adjacency
+          // resolved on demand from the updated edges table (the reference
+          // updates the graph before repairing, engine.go:346-369)
+          val (changed, nChanged) = phase(round, s"repair-w$wave") {
+            SubgraphWalks.repairAll(spark, st.walks, resolver, deltas, round, wave, params)
+          }
+          tmpCaches += changed
+          walksChanged += nChanged
+          if (nChanged > 0) {
+            val changedIds = changed.map(_._1.walkId).toDF("rwid").persist()
+            tmpCaches += changedIds
+            st.walks = st.walks
+              .join(broadcast(changedIds), st.walks("walkId") === $"rwid", "left_anti")
+              .as[WalkRow]
+              .union(changed.map(_._1))
+            walkEventSeq += 1
+            walkEventParts += changed
+              .map(_._1)
+              .toDF
+              .select(lit(walkEventSeq).as("seq"), lit(true).as("isAdd"), $"walkId", $"start", $"path")
+            visitDeltaParts += changed
+              .flatMap { case (nw, old) => old.map(n => (n, -1L)) ++ nw.path.map(n => (n, 1L)) }
+              .toDF("node", "d")
+          }
         }
       }
       wave += 1
     }
 
-    // ---- 5. leak scan over the batch (reference setLeak, arbiter.go:137-174)
-    val leakedIds: Seq[Long] = batchUrls.flatMap { u =>
-      if (versionsByUrl.getOrElse(u, Vector.empty).exists(_._3)) Some(batchIds(u)) else None
-    }
+    // ---- 5. leak scan over the batch (reference setLeak, arbiter.go:137-174
+    // + leak records, /root/reference/pkg/leaks/leaks.go:146-151: confirmed
+    // = validated secret, suspected = pattern match failing the checksum)
+    val leakedIds: Seq[Long] =
+      verInfo.filter(_._5).map(_._2).distinct.toSeq
+    val suspectedIds: Seq[Long] =
+      verInfo.filter(v => v._6 && !v._5).map(_._2).distinct.filterNot(leakedIds.contains).toSeq
     val leakedActive = leakedIds.filter(id => statusById.getOrElse(id, "") == NodeStatus.Active)
+    val leakRecordParts = mutable.ArrayBuffer.empty[DataFrame]
+    if (leakedIds.nonEmpty || suspectedIds.nonEmpty) {
+      val recIds = leakedIds.map((_, LeakStatus.Confirmed)) ++ suspectedIds.map((_, LeakStatus.Suspected))
+      val recDF = spark.createDataset(recIds).toDF("rid", "rstatus")
+      val proofs = batchExtracted
+        .select(
+          $"id".as("rid"),
+          explode(concat($"secret_proofs", $"suspect_proofs")).as("proof")
+        )
+        .groupBy($"rid")
+        .agg(sort_array(collect_set($"proof")).as("proofs"))
+      val newRecs = recDF
+        .join(st.leaks.select($"id".as("rid"), lit(1).as("already")), Seq("rid"), "left")
+        .filter($"already".isNull || $"rstatus" === LeakStatus.Confirmed)
+        .join(st.leaks.filter($"status" === LeakStatus.Confirmed).select($"id".as("rid"), lit(1).as("conf")), Seq("rid"), "left")
+        .filter($"conf".isNull)
+        .join(st.nodes.select($"id".as("rid"), $"url"), Seq("rid"))
+        .join(proofs, Seq("rid"), "left")
+        .select(
+          $"rid".as("id"),
+          $"url",
+          lit(round).as("detectedRound"),
+          $"rstatus".as("status"),
+          coalesce($"proofs", typedLit(Array.empty[String])).as("proofs")
+        )
+        .persist()
+      tmpCaches += newRecs
+      if (newRecs.count() > 0) {
+        leakRecordParts += newRecs
+        st.leaks = st.leaks.union(newRecs)
+      }
+    }
     if (leakedIds.nonEmpty) {
       leakedIds.foreach(id => statusById(id) = NodeStatus.Leaked)
       nodeUpdateParts += spark
@@ -508,24 +661,18 @@ class RoundDriver(
           val p = params
           val r = round
           val gw = GenWave
-          val totalEdges = st.adjacency.valuesIterator.map(_.length.toLong).sum
           val newWalks =
-            if (totalEdges > broadcastMaxEdges) {
-              // scale path: one shuffle join per hop, no adjacency broadcast
+            if (st.totalEdges > broadcastMaxEdges) {
+              // scale path: one shuffle join per hop, no driver sub-adjacency
               val adjDS = graft.walks.IterativeWalker.adjacencyTable(
                 spark,
                 st.edges.as[EdgeRow].map(e => (e.src, e.dst))
               )
               graft.walks.IterativeWalker.generate(spark, promotedDF.select($"id").as[Long], adjDS, r, gw, p)
             } else {
-              val bAdj = spark.sparkContext.broadcast(st.adjacency.toMap)
-              promotedDF.select($"id").as[Long].flatMap { id =>
-                val adjF: WalkAlgebra.Adjacency = n => bAdj.value.getOrElse(n, Array.empty)
-                (0 until p.walksPerNode).map { i =>
-                  val wid = id * p.walksPerNode + i
-                  WalkRow(wid, id, WalkAlgebra.generateWalk(adjF, id, wid, r, gw, p))
-                }
-              }
+              // bounded path: resolve only the neighborhood the walks visit
+              val promotedIds = promotedDF.select($"id").as[Long].collect().sorted.toSeq
+              SubgraphWalks.generateAll(spark, promotedIds, resolver, r, gw, p)
             }
           val newWalksP = newWalks.persist()
           tmpCaches += newWalksP
@@ -578,6 +725,7 @@ class RoundDriver(
     oldWalks.unpersist()
     st.visits = st.visits.localCheckpoint(true)
     st.fetchedCount += batchUrls.size
+    batchUrls.foreach(st.seenBloom.putString) // incremental seen-bloom maintenance
     // small tables: per-round localCheckpoint keeps their plans shallow
     // (status updates add two joins per round — Catalyst replanning of deep
     // chains costs more than materializing these small tables)
@@ -585,15 +733,17 @@ class RoundDriver(
     st.edges = st.edges.localCheckpoint(true)
     st.fetched = st.fetched.union(batchUrls.toDF("url")).localCheckpoint(true)
     st.enqueued = st.enqueued.localCheckpoint(true)
+    st.leaks = st.leaks.localCheckpoint(true)
+    if (promotedCount > 0) st.enqueuedCount = st.enqueued.count()
 
     // ---- per-round delta checkpoint (O(changes), not O(state))
     phase(round, "delta-write") {
-      if (nodesAdded.nonEmpty) io.write(round, "nodes_added", spark.createDataset(nodesAdded.toSeq).toDF)
+      if (nodesAddedParts.nonEmpty) io.write(round, "nodes_added", nodesAddedParts.reduce(_ union _))
       if (nodeUpdateParts.nonEmpty) io.write(round, "nodes_updates", nodeUpdateParts.reduce(_ union _))
       if (touchedAuthors.nonEmpty) {
         io.write(round, "edges_removed_src", spark.createDataset(touchedAuthors.toSeq).toDF("src"))
         // FINAL adjacency of touched authors (net of all waves this round)
-        val finalEdges = touchedAuthors.toSeq.flatMap(a => st.adjacency.getOrElse(a, Array.empty[Long]).map(dst => EdgeRow(a, dst)))
+        val finalEdges = touchedAuthors.toSeq.flatMap(a => roundAdj.getOrElse(a, Array.empty[Long]).map(dst => EdgeRow(a, dst)))
         if (finalEdges.nonEmpty) io.write(round, "edges_added", spark.createDataset(finalEdges).toDF)
       }
       if (walkEventParts.nonEmpty) {
@@ -604,6 +754,7 @@ class RoundDriver(
         io.write(round, "walks_removed", last.select($"walkId"))
         io.write(round, "walks_added", last.filter($"isAdd").select($"walkId", $"start", $"path"))
       }
+      if (leakRecordParts.nonEmpty) io.write(round, "leaks_add", leakRecordParts.reduce(_ union _))
       io.write(round, "fetched_add", batchUrls.toDF("url"))
       enqueuedAdd.foreach(df => io.write(round, "enqueued_add", df))
       io.write(round, "visits", st.visits)
@@ -613,8 +764,8 @@ class RoundDriver(
     val m = RoundMetrics(
       round = round,
       scheduled = batchUrls.size.toLong,
-      fetched = versionsByUrl.size.toLong,
-      newNodes = nodesAdded.size.toLong,
+      fetched = verInfo.map(_._1).distinct.length.toLong,
+      newNodes = newNodesCount,
       newEdges = newEdgesCount,
       removedEdges = removedEdgesCount,
       walksChanged = walksChanged,
@@ -622,7 +773,8 @@ class RoundDriver(
       promoted = promotedCount,
       demoted = demotedCount,
       seenSize = st.fetchedCount,
-      pendingSize = st.enqueued.join(st.fetched, Seq("url"), "left_anti").count(),
+      // pure arithmetic: fetched ⊆ enqueued (batches are cut from pending)
+      pendingSize = st.enqueuedCount - st.fetchedCount,
       scanRan = scanRan,
       wallMillis = wallMillis
     )

@@ -2,7 +2,7 @@ package graft.spec
 
 import scala.collection.mutable
 
-import graft.core.{CrawlParams, DeltaRow, NodeStatus, Rng}
+import graft.core.{CrawlParams, DeltaRow, LeakStatus, NodeStatus}
 import graft.extract.Extract
 import graft.walks.WalkAlgebra
 
@@ -68,7 +68,10 @@ object SequentialSpec {
       nodes: Map[Long, NodeState],
       adjacency: Map[Long, Array[Long]],
       walks: Map[Long, Array[Long]],
-      urlToId: Map[String, Long]
+      urlToId: Map[String, Long],
+      // id → (detectedRound, status, sorted md5 proofs) — the leak-records
+      // table (reference leaks.Record, /root/reference/pkg/leaks/leaks.go:146-151)
+      leakRecords: Map[Long, (Long, String, Vector[String])]
   )
 
   val GenWave = 15 // reserved RNG wave for walk generation (repair uses version waves 0..13)
@@ -77,11 +80,28 @@ object SequentialSpec {
       pages: Seq[PageV],
       seeds: Seq[String],
       params: CrawlParams,
-      maxRounds: Int
+      maxRounds: Int,
+      robots: Seq[(String, String)] = Nil // (host, disallowed path prefix)
   ): Result = {
-    // pages indexed by canonical url, versions in ts order
+    // pages indexed by canonical url, versions in (ts, md5) order — the md5
+    // tiebreaker mirrors the engine's deterministic version numbering
     val byUrl: Map[String, Vector[PageV]] =
-      pages.groupBy(_.url).view.mapValues(_.sortBy(_.tsSec).toVector).toMap
+      pages.groupBy(_.url).view.mapValues(_.sortBy(p => (p.tsSec, Extract.md5Hex(p.html))).toVector).toMap
+    byUrl.values.foreach { vs =>
+      require(vs.length <= 14, s"${vs.length} versions for one url exceed the 14-wave RNG key budget")
+    }
+
+    def pathOf(u: String): String = {
+      val i = u.indexOf("://")
+      val rest = if (i >= 0) u.substring(i + 3) else u
+      val j = rest.indexOf('/')
+      if (j >= 0) rest.substring(j) else ""
+    }
+    def robotsDisallowed(u: String): Boolean = {
+      val h = Extract.hostOf(u)
+      val p = pathOf(u)
+      robots.exists { case (rh, rp) => rh == h && p.startsWith(rp) }
+    }
 
     val nodes = mutable.LinkedHashMap.empty[Long, NodeState]
     val urlToId = mutable.HashMap.empty[String, Long]
@@ -89,6 +109,7 @@ object SequentialSpec {
     val walks = mutable.HashMap.empty[Long, Array[Long]] // walkId → path
     val enqueued = mutable.LinkedHashSet.empty[String]
     val fetched = mutable.HashSet.empty[String]
+    val leakRecords = mutable.LinkedHashMap.empty[Long, (Long, String, Vector[String])]
     var nextId = 0L
 
     val adj: WalkAlgebra.Adjacency = n => adjacency.getOrElse(n, Array.empty)
@@ -130,7 +151,7 @@ object SequentialSpec {
     var done = false
 
     while (!done && round <= maxRounds) {
-      val pending = enqueued.toVector.filterNot(fetched)
+      val pending = enqueued.toVector.filterNot(fetched).filterNot(robotsDisallowed)
       if (pending.isEmpty) done = true
       else {
         // ---- 2. priority cut
@@ -211,10 +232,25 @@ object SequentialSpec {
           wave += 1
         }
 
-        // ---- 5. leak scan over the batch's page texts
+        // ---- 5. leak scan over the batch's page texts: confirmed = valid
+        // secret (node leaked, walks dropped), suspected = pattern match
+        // failing the checksum (record only; reference leaks.Record tiers)
         batchList.foreach { u =>
-          val leaked = byUrl.getOrElse(u, Vector.empty).exists(v => Extract.findSecrets(v.text).nonEmpty)
-          if (leaked) {
+          val versions = byUrl.getOrElse(u, Vector.empty)
+          val valid = versions.flatMap(v => Extract.findSecrets(v.text))
+          val suspect = versions.flatMap(v => Extract.findSuspects(v.text))
+          if (valid.nonEmpty || suspect.nonEmpty) {
+            val id = urlToId(u)
+            val status = if (valid.nonEmpty) LeakStatus.Confirmed else LeakStatus.Suspected
+            if (!leakRecords.contains(id)) {
+              val proofs = (valid ++ suspect)
+                .map(s => Extract.md5Hex(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                .distinct
+                .sorted
+              leakRecords(id) = (round, status, proofs)
+            }
+          }
+          if (valid.nonEmpty) {
             val st = nodes(urlToId(u))
             if (st.status != NodeStatus.Leaked) {
               if (st.status == NodeStatus.Active) removeWalksStartingAt(st.id)
@@ -276,7 +312,8 @@ object SequentialSpec {
       nodes = nodes.toMap,
       adjacency = adjacency.toMap,
       walks = walks.toMap,
-      urlToId = urlToId.toMap
+      urlToId = urlToId.toMap,
+      leakRecords = leakRecords.toMap
     )
   }
 }

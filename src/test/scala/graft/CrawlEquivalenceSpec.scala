@@ -51,13 +51,17 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
       maxRounds: Int,
       dir: String,
       broadcastMaxEdges: Long = 10000000L,
-      compactOnExit: Boolean = true
+      compactOnExit: Boolean = true,
+      robots: Seq[(String, String)] = Nil,
+      runParams: graft.core.CrawlParams = params
   ): CrawlEngine.Result = {
     import spark.implicits._
     val pagesDF = spark.createDataset(pageRows).toDF
     val extracted = CrawlEngine.extractPages(spark, pagesDF).persist()
     val io = new ParquetTableIO(spark, dir)
-    val driver = new RoundDriver(spark, io, params, broadcastMaxEdges, compactOnExit = compactOnExit)
+    val robotsDF = if (robots.isEmpty) None else Some(spark.createDataset(robots).toDF("host", "prefix"))
+    val driver =
+      new RoundDriver(spark, io, runParams, broadcastMaxEdges, compactOnExit = compactOnExit, robots = robotsDF)
     if (io.lastCompleteRound() < 0) driver.init(seeds)
     val res = driver.run(extracted, maxRounds)
     extracted.unpersist()
@@ -87,6 +91,15 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
       .toMap
     val seen = io.read(last, "fetched").collect().map(_.getString(0)).toSeq.sorted
     (nodes, adjacency, walks, seen)
+  }
+
+  def engineLeaks(dir: String): Map[Long, (Long, String, Vector[String])] = {
+    val io = new ParquetTableIO(spark, dir)
+    val last = io.lastCompleteRound()
+    io.read(last, "leaks")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3), r.getSeq[String](4).toVector)))
+      .toMap
   }
 
   test("engine matches spec byte-for-byte: crawl order, seen set, statuses, walks") {
@@ -127,6 +140,41 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     val specWalks = specResult.walks.map { case (k, v) => k -> v.toSeq }
     assert(walks.size === specWalks.size)
     assert(walks === specWalks)
+
+    // (f) leak-records table exactly (confirmed + suspected tiers)
+    assert(engineLeaks(dir) === specResult.leakRecords)
+  }
+
+  test("robots gate: disallow rules change the crawl and engine still matches spec") {
+    val rules = PagesGen.robotsRules(cfg)
+    val pv = pageRows.map(p => SequentialSpec.PageV(p.url, p.warc_ts.getTime / 1000, p.html, p.text))
+    val specRobots = SequentialSpec.run(pv, seeds, params, rounds, robots = rules)
+    // the rules actually bite: the gated crawl differs from the ungated one
+    assert(specRobots.seen !== specResult.seen, "robots rules did not change the crawl — fixture too weak")
+    // no fetched url violates a disallow rule
+    def path(u: String): String = u.replaceFirst("^https?://[^/]*", "")
+    specRobots.seen.foreach { u =>
+      val h = graft.extract.Extract.hostOf(u)
+      assert(!rules.exists { case (rh, rp) => rh == h && path(u).startsWith(rp) }, s"fetched disallowed url $u")
+    }
+    val dir = Files.createTempDirectory("crawl-robots").toString
+    val engine = runEngine(rounds, dir, robots = rules)
+    assert(engine.traces.map(_.fetchOrder) === specRobots.traces.map(_.fetchOrder))
+    val (nodes, _, walks, seen) = engineState(dir)
+    assert(seen === specRobots.seen)
+    assert(nodes === specRobots.nodes.map { case (id, st) =>
+      id -> ((st.url, st.status, st.addedRound, st.promotedRound, st.demotedRound))
+    })
+    assert(walks === specRobots.walks.map { case (k, v) => k -> v.toSeq })
+  }
+
+  test("walk_params resume guard: resuming with different params fails fast") {
+    val dir = Files.createTempDirectory("crawl-params").toString
+    runEngine(2, dir)
+    val err = intercept[IllegalArgumentException] {
+      runEngine(4, dir, runParams = params.copy(alpha = 0.5))
+    }
+    assert(err.getMessage.contains("walk_params mismatch"))
   }
 
   test("forced-iterative walk generation yields the identical crawl") {
