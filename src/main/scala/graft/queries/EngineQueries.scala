@@ -18,8 +18,14 @@ object EngineQueries {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** q29 — seeded Monte-Carlo walk rank (U1/U5/A2-A4) over the same derived
-    * graph as q17: distributed walk generation with broadcast adjacency,
-    * visit-count rank estimator. Deterministic under the counter-based RNG.
+    * graph as q17: distributed walk generation, visit-count rank estimator.
+    * Size-aware like RoundDriver.broadcastMaxEdges: below the threshold the
+    * adjacency (aggregated distributed, then collected compact) is
+    * broadcast and visits are PARTIAL-AGGREGATED inside each partition (a
+    * per-partition hashmap instead of one shuffle row per visit); above it,
+    * the join-per-hop IterativeWalker runs with no driver-held graph at
+    * all. Both paths make identical counter-based draws
+    * (IterativeWalkerSpec proves path equality).
     */
   def q29WalkRank(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -29,27 +35,47 @@ object EngineQueries {
     val edges = t(dir, "orders")
       .select(col("o_custkey").cast("long").as("src"), ((col("o_orderkey") * 7) % n + 1).cast("long").as("dst"))
       .distinct()
-    val adjMap = edges
       .as[(Long, Long)]
-      .collect()
-      .groupBy(_._1)
-      .map { case (k, v) => k -> v.map(_._2).sorted }
-    val bAdj = spark.sparkContext.broadcast(adjMap)
     val p = CrawlParams(walksPerNode = 100)
-    val visits = nodes
-      .as[Long]
-      .flatMap { node =>
-        val adjF: WalkAlgebra.Adjacency = v => bAdj.value.getOrElse(v, Array.empty)
-        (0 until p.walksPerNode).flatMap { i =>
-          WalkAlgebra.generateWalk(adjF, node, node * p.walksPerNode + i, 0L, 15, p)
-        }
+    val broadcastMaxEdges = 4000000L
+    val visits =
+      if (edges.count() > broadcastMaxEdges) {
+        graft.walks.IterativeWalker
+          .generate(spark, nodes.as[Long], graft.walks.IterativeWalker.adjacencyTable(spark, edges), 0L, 15, p)
+          .flatMap(_.path)
+          .toDF("node")
+          .groupBy("node")
+          .agg(count(lit(1)).as("visits"))
+      } else {
+        val adjMap = edges
+          .groupByKey(_._1)
+          .mapGroups((src, it) => (src, it.map(_._2).toArray.sorted))
+          .collect()
+          .toMap
+        val bAdj = spark.sparkContext.broadcast(adjMap)
+        nodes
+          .as[Long]
+          .mapPartitions { it =>
+            val adjF: WalkAlgebra.Adjacency = v => bAdj.value.getOrElse(v, Array.empty)
+            val counts = new java.util.HashMap[Long, Long]()
+            it.foreach { node =>
+              var i = 0
+              while (i < p.walksPerNode) {
+                WalkAlgebra
+                  .generateWalk(adjF, node, node * p.walksPerNode + i, 0L, 15, p)
+                  .foreach(v => counts.merge(v, 1L, (a, b) => a + b))
+                i += 1
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            counts.entrySet().iterator().asScala.map(e => (e.getKey.longValue(), e.getValue.longValue()))
+          }
+          .toDF("node", "cnt")
+          .groupBy("node")
+          .agg(sum("cnt").as("visits"))
       }
-      .toDF("node")
-      .groupBy("node")
-      .agg(count(lit(1)).as("visits"))
-    val total = visits.agg(sum("visits")).first().getLong(0)
     visits
-      .withColumn("rank", round(col("visits").cast("double") / total, 6))
+      .withColumn("rank", round(col("visits").cast("double") / sum(col("visits")).over(), 6))
       .orderBy("node")
   }
 

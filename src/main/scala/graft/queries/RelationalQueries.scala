@@ -227,17 +227,20 @@ object RelationalQueries {
       |       CAST(length(p_name) AS INT) AS name_len
       |FROM part ORDER BY p_partkey""".stripMargin
 
-  /** q12 — table-level set operations (E2/E3 dedup + union).
+  /** q12 — table-level set operations (E2/E3 dedup + union), computed as
+    * ONE full-outer join + aggregate (one Spark job, not three actions).
     */
   def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val users = t(dir, "events").select(col("user_id").cast("long").as("k")).distinct()
-    val custs = t(dir, "customer").select(col("c_custkey").cast("long").as("k")).distinct()
-    val nUnion = users.union(custs).distinct().count()
-    val nIntersect = users.intersect(custs).count()
-    val nExcept = users.except(custs).count()
-    import spark.implicits._
-    Seq((nUnion, nIntersect, nExcept)).toDF("n_union", "n_intersect", "n_except")
+    val users = t(dir, "events").select(col("user_id").cast("long").as("k")).distinct().withColumn("u", lit(1))
+    val custs = t(dir, "customer").select(col("c_custkey").cast("long").as("k")).distinct().withColumn("c", lit(1))
+    users
+      .join(custs, Seq("k"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_union"),
+        sum(when(col("u").isNotNull && col("c").isNotNull, 1).otherwise(0)).cast("long").as("n_intersect"),
+        sum(when(col("u").isNotNull && col("c").isNull, 1).otherwise(0)).cast("long").as("n_except")
+      )
   }
   val q12Sql: String =
     """WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS k FROM events),
@@ -382,6 +385,99 @@ object RelationalQueries {
       |SELECT node, CAST(round(rank * 1000, 6) AS DOUBLE) AS rank_k
       |FROM pr WHERE iter = 5 ORDER BY node""".stripMargin
 
+  /** q35 — robots-style prefix gate: a (key, prefix) rules table anti-joined
+    * against the stream, key-equality + prefix-match (the engine's robots
+    * disallow join in Politeness.schedule, re-expressed over events so the
+    * DuckDB oracle can verify it).
+    */
+  def q35PrefixGate(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val rules = Seq(("click", "1"), ("view", "2"), ("purchase", "3")).toDF("r_type", "r_prefix")
+    t(dir, "events")
+      .join(
+        broadcast(rules),
+        col("event_type") === col("r_type") && col("user_id").cast("string").startsWith(col("r_prefix")),
+        "left_anti"
+      )
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+  val q35Sql: String =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events e
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM (VALUES ('click','1'), ('view','2'), ('purchase','3')) r(r_type, r_prefix)
+      |  WHERE r.r_type = e.event_type AND CAST(e.user_id AS VARCHAR) LIKE r.r_prefix || '%')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q36 — first-detection records (the engine's leak-records table shape,
+    * reference leaks.Record{DetectedAt, Status confirmed/suspected},
+    * /root/reference/pkg/leaks/leaks.go:146-151): per user, the earliest
+    * qualifying event, tiered by severity.
+    */
+  def q36DetectionRecords(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "events")
+      .filter(col("value") >= 180)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("value") >= 220, col("ts"))).as("confirmed_at"),
+        min(col("ts")).as("first_at"),
+        count(lit(1)).as("n_evidence"),
+        round(max(col("value")), 2).as("max_value")
+      )
+      .select(
+        col("user_id"),
+        when(col("confirmed_at").isNotNull, "confirmed").otherwise("suspected").as("status"),
+        coalesce(col("confirmed_at"), col("first_at")).as("detected_at"),
+        col("n_evidence"),
+        col("max_value")
+      )
+      .orderBy("user_id")
+  }
+  val q36Sql: String =
+    """SELECT user_id,
+      |       CASE WHEN confirmed_at IS NOT NULL THEN 'confirmed' ELSE 'suspected' END AS status,
+      |       coalesce(confirmed_at, first_at) AS detected_at, n_evidence, max_value
+      |FROM (SELECT user_id, min(CASE WHEN value >= 220 THEN ts END) AS confirmed_at,
+      |             min(ts) AS first_at, count(*) AS n_evidence,
+      |             CAST(round(max(value), 2) AS DOUBLE) AS max_value
+      |      FROM events WHERE value >= 180 GROUP BY user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** q37 — day-range enumeration + gap fill (C2 DailyRange,
+    * /root/reference/pkg/stats/stats.go:191-200): for each low-id user,
+    * every day of the global range with zero-filled daily event counts —
+    * `sequence()` day generation left-joined to the sparse daily counts.
+    */
+  def q37DayFill(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = t(dir, "events")
+    val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    val days = bounds.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val users = ev.filter(col("user_id") <= 10).select(col("user_id")).distinct()
+    val daily = ev
+      .filter(col("user_id") <= 10)
+      .groupBy(col("user_id").as("u"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    users
+      .crossJoin(broadcast(days))
+      .join(daily, users("user_id") === daily("u") && days("day") === daily("day"), "left")
+      .select(users("user_id"), days("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("user_id", "day")
+  }
+  val q37Sql: String =
+    """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+      |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+      |users AS (SELECT DISTINCT user_id FROM events WHERE user_id <= 10),
+      |daily AS (SELECT user_id AS u, CAST(ts AS DATE) AS day, count(*) AS n
+      |          FROM events WHERE user_id <= 10 GROUP BY 1, 2)
+      |SELECT user_id, days.day AS day, coalesce(n, 0) AS n
+      |FROM users CROSS JOIN days LEFT JOIN daily ON user_id = u AND daily.day = days.day
+      |ORDER BY user_id, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_newest_per_key" -> q01NewestPerKey _,
     "q02_semi_join" -> q02SemiJoin _,
@@ -399,7 +495,10 @@ object RelationalQueries {
     "q14_json_extract" -> q14JsonExtract _,
     "q15_user_gaps" -> q15UserGaps _,
     "q16_histogram" -> q16Histogram _,
-    "q17_pagerank_iter" -> q17PagerankIter _
+    "q17_pagerank_iter" -> q17PagerankIter _,
+    "q35_prefix_gate" -> q35PrefixGate _,
+    "q36_detection_records" -> q36DetectionRecords _,
+    "q37_day_fill" -> q37DayFill _
   )
 
   val oracles: Map[String, String] = Map(
@@ -419,6 +518,9 @@ object RelationalQueries {
     "q14_json_extract" -> q14Sql,
     "q15_user_gaps" -> q15Sql,
     "q16_histogram" -> q16Sql,
-    "q17_pagerank_iter" -> q17Sql
+    "q17_pagerank_iter" -> q17Sql,
+    "q35_prefix_gate" -> q35Sql,
+    "q36_detection_records" -> q36Sql,
+    "q37_day_fill" -> q37Sql
   )
 }

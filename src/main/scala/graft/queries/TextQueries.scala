@@ -63,17 +63,19 @@ object TextQueries {
       |       CAST(length(text) AS BIGINT) AS n_chars_text
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** q20 — quality scoring (length/word-length/diversity ratios). */
+  /** q20 — quality scoring (length/word-length/diversity ratios). The
+    * tokenization is projected ONCE (`ws`) and every ratio derives from it —
+    * one split per row instead of three.
+    */
   def q20QualityScore(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val toks = size(split(col("text"), " ")).cast("double")
-    val dtoks = size(array_distinct(split(col("text"), " "))).cast("double")
     t(dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"), split(col("text"), " ").as("ws"))
       .select(
         col("doc_id"),
-        round(length(col("text")).cast("double") / toks, 4).as("avg_token_len"),
-        round(dtoks / toks, 4).as("diversity"),
-        (length(col("text")) >= 100 && length(col("text")) <= 2000).as("length_ok")
+        round(col("len").cast("double") / size(col("ws")).cast("double"), 4).as("avg_token_len"),
+        round(size(array_distinct(col("ws"))).cast("double") / size(col("ws")).cast("double"), 4).as("diversity"),
+        (col("len") >= 100 && col("len") <= 2000).as("length_ok")
       )
       .orderBy("doc_id")
   }
@@ -309,6 +311,144 @@ object TextQueries {
        |FROM sums ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
+  // ---------- end-to-end LSH near-dup dedup (q33/q34) ----------
+  // Pipeline: 3-gram shingles → 8 md5-minhashes → 2 bands of 4 → bucket
+  // self-join (shuffle by band key, never all-pairs) → candidate pairs →
+  // exact Jaccard verification → min-id connected components → keeper per
+  // cluster. The full production shape of an LSH dedup at 100 TB: every
+  // stage is a shuffle-by-key or a bounded iterative join.
+
+  /** Distinct 3-gram shingles per doc (word trigrams joined by '_'). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(
+            expr("transform(sequence(0, size(ws) - 3), i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))")
+          )
+        ).as("tok")
+      )
+
+  /** Verified near-dup pairs: LSH candidates with exact shingle-Jaccard. */
+  private def verifiedPairs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    def h(k: Int): Column = min(md5(concat(lit(s"s$k:"), col("tok")).cast("binary"))).as(s"h$k")
+    val sig = sh.groupBy("doc_id").agg(h(1), h(2), h(3), h(4), h(5), h(6), h(7), h(8))
+    val bands = sig
+      .select(col("doc_id"), md5(concat(col("h1"), col("h2"), col("h3"), col("h4")).cast("binary")).as("b"), lit(1).as("band"))
+      .union(
+        sig.select(col("doc_id"), md5(concat(col("h5"), col("h6"), col("h7"), col("h8")).cast("binary")).as("b"), lit(2).as("band"))
+      )
+    val cand = bands
+      .select(col("band"), col("b"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("b"), col("doc_id").as("doc_b")), Seq("band", "b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+      .withColumn("ii", coalesce(col("i"), lit(0L)))
+      .withColumn("jaccard", col("ii").cast("double") / (col("sza") + col("szb") - col("ii")))
+  }
+
+  private val shingleSqlPrefix: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS tok
+      |       FROM w, (SELECT unnest(range(1, 4001)) AS i) r WHERE i + 2 <= len(ws)),
+      |sig AS (SELECT doc_id,
+      |        min(md5('s1:' || tok)) AS h1, min(md5('s2:' || tok)) AS h2, min(md5('s3:' || tok)) AS h3, min(md5('s4:' || tok)) AS h4,
+      |        min(md5('s5:' || tok)) AS h5, min(md5('s6:' || tok)) AS h6, min(md5('s7:' || tok)) AS h7, min(md5('s8:' || tok)) AS h8
+      |        FROM sh GROUP BY doc_id),
+      |bands AS (SELECT doc_id, md5(h1 || h2 || h3 || h4) AS b, 1 AS band FROM sig
+      |          UNION ALL SELECT doc_id, md5(h5 || h6 || h7 || h8) AS b, 2 AS band FROM sig),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM bands x JOIN bands y ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+      |          JOIN sh ta ON ta.doc_id = c.doc_a JOIN sh tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      |          GROUP BY c.doc_a, c.doc_b),
+      |verified AS (SELECT c.doc_a, c.doc_b,
+      |                    CAST(coalesce(i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i, 0)) AS jaccard
+      |             FROM cand c LEFT JOIN inter USING (doc_a, doc_b)
+      |             JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  /** q33 — LSH dedup candidate verification: every LSH candidate pair with
+    * its exact shingle-Jaccard and the dedup verdict (≥ 0.5).
+    */
+  def q33LshDedupPairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    verifiedPairs(t(dir, "documents"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard_r"),
+        (col("jaccard") >= 0.5).as("is_dup")
+      )
+      .orderBy("doc_a", "doc_b")
+  }
+  val q33Sql: String =
+    shingleSqlPrefix +
+      """
+        |SELECT doc_a, doc_b, CAST(round(jaccard, 4) AS DOUBLE) AS jaccard_r, jaccard >= 0.5 AS is_dup
+        |FROM verified ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q34 — dedup cluster resolution: min-id connected components over the
+    * verified pairs (iterative label propagation in Spark vs a recursive
+    * transitive-closure CTE in DuckDB), keeper = smallest doc_id.
+    */
+  def q34DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val dup = verifiedPairs(t(dir, "documents")).filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    val edgesBoth = dup
+      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+      .persist()
+    var labels = edgesBoth.select(col("node")).distinct().withColumn("label", col("node")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edgesBoth
+        .join(labels, Seq("node"))
+        .select(col("nbr").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node")
+        .agg(min(col("label")).as("newLabel"))
+        .persist()
+      changed = prop
+        .join(labels, Seq("node"))
+        .filter(col("newLabel") < col("label"))
+        .count()
+      labels.unpersist()
+      labels = prop.select(col("node"), col("newLabel").as("label")).persist()
+    }
+    val out = labels
+      .groupBy(col("label").as("keeper"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+      .orderBy("keeper")
+    edgesBoth.unpersist()
+    out
+  }
+  val q34Sql: String =
+    shingleSqlPrefix +
+      """,
+        |dup AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+        |e AS (SELECT doc_a AS x, doc_b AS y FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach AS (WITH RECURSIVE r(x, y) AS (SELECT x, y FROM e UNION SELECT r.x, e.y FROM r JOIN e ON r.y = e.x)
+        |          SELECT x, y FROM r),
+        |labels AS (SELECT x AS node, least(x, min(y)) AS label FROM reach GROUP BY x)
+        |SELECT label AS keeper, count(*) AS n_members, max(node) AS max_member
+        |FROM labels GROUP BY label ORDER BY keeper""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> q18DedupExact _,
     "q19_token_count" -> q19TokenCount _,
@@ -320,7 +460,9 @@ object TextQueries {
     "q25_simhash" -> q25Simhash _,
     "q26_ann_cosine_topk" -> q26AnnCosineTopK _,
     "q27_ivf_buckets" -> q27IvfBuckets _,
-    "q28_ann_bucketed" -> q28AnnBucketed _
+    "q28_ann_bucketed" -> q28AnnBucketed _,
+    "q33_lsh_dedup_pairs" -> q33LshDedupPairs _,
+    "q34_dedup_clusters" -> q34DedupClusters _
   )
 
   val oracles: Map[String, String] = Map(
@@ -334,6 +476,8 @@ object TextQueries {
     "q25_simhash" -> q25Sql,
     "q26_ann_cosine_topk" -> q26Sql,
     "q27_ivf_buckets" -> q27Sql,
-    "q28_ann_bucketed" -> q28Sql
+    "q28_ann_bucketed" -> q28Sql,
+    "q33_lsh_dedup_pairs" -> q33Sql,
+    "q34_dedup_clusters" -> q34Sql
   )
 }

@@ -23,11 +23,11 @@ trait TableIO {
 }
 
 class ParquetTableIO(spark: SparkSession, val root: String) extends TableIO {
-  private val fs = org.apache.hadoop.fs.FileSystem.get(
+  protected val fs: org.apache.hadoop.fs.FileSystem = org.apache.hadoop.fs.FileSystem.get(
     new java.net.URI(root),
     spark.sparkContext.hadoopConfiguration
   )
-  private def roundDir(round: Long) = s"$root/r=$round"
+  protected def roundDir(round: Long) = s"$root/r=$round"
   private def marker(round: Long) =
     new org.apache.hadoop.fs.Path(s"${roundDir(round)}/_COMPLETE")
 
@@ -53,5 +53,58 @@ class ParquetTableIO(spark: SparkSession, val root: String) extends TableIO {
       .collect { case s if s.startsWith("r=") => s.substring(2).toLong }
       .filter(r => fs.exists(marker(r)))
       .foldLeft(-1L)(math.max)
+  }
+}
+
+/** Host-hash-bucketed state tables (SURVEY.md §4 items 1/3): the big state
+  * tables are written CLUSTERED into `buckets` files by their join key —
+  * frontier tables by url, edges by src, walks by their start node, nodes
+  * by url, visits by node — via Spark's bucketed-table support
+  * (`bucketBy().sortBy().saveAsTable` with an explicit external path). A
+  * cold read through the session catalog then reports HashPartitioning, so
+  * the seen-anti-join (enqueued ⋈ fetched on url), the link-resolution join
+  * (links ⋈ nodes on url), and walk-store aggregations by start run WITHOUT
+  * an exchange on the bucketed key (asserted by BucketedIOSpec).
+  *
+  * Bucket metadata lives in the session catalog; across JVMs a metastore —
+  * or, at production scale, Iceberg `bucket(B, key)` partition transforms
+  * with storage-partitioned joins — carries the same information. Delta-log
+  * tables and markers stay plain parquet (they are O(changes) and always
+  * broadcast-joined).
+  */
+class BucketedTableIO(spark: SparkSession, root: String, buckets: Int = 32)
+    extends ParquetTableIO(spark, root) {
+
+  /** bucket column + within-bucket sort for each big state table */
+  private val spec: Map[String, (String, String)] = Map(
+    "fetched" -> (("url", "url")),
+    "enqueued" -> (("url", "url")),
+    "edges" -> (("src", "dst")),
+    "walks" -> (("start", "walkId")),
+    "nodes" -> (("url", "id")),
+    "visits" -> (("node", "node"))
+  )
+
+  private def tableName(round: Long, name: String): String =
+    s"graft_${math.abs(root.hashCode)}_r${round}_$name"
+
+  override def write(round: Long, name: String, df: DataFrame): Unit = spec.get(name) match {
+    case Some((bucketCol, sortCol)) =>
+      val tbl = tableName(round, name)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      df.write
+        .mode("overwrite")
+        .option("path", s"${roundDir(round)}/$name")
+        .bucketBy(buckets, bucketCol)
+        .sortBy(sortCol)
+        .format("parquet")
+        .saveAsTable(tbl)
+    case None => super.write(round, name, df)
+  }
+
+  override def read(round: Long, name: String): DataFrame = {
+    val tbl = tableName(round, name)
+    if (spec.contains(name) && spark.catalog.tableExists(tbl)) spark.table(tbl)
+    else super.read(round, name)
   }
 }

@@ -65,11 +65,38 @@ object StreamIngest {
       .groupBy(window(col("warc_ts"), "1 day"), col("lang"))
       .agg(count(lit(1)).as("n_pages"), approx_count_distinct(col("url")).as("approx_urls"))
 
-  /** Crawl mode as a stream: every micro-batch of arriving pages is
-    * appended to the accumulated pages table, then the ordinary batch
-    * round driver advances `roundsPerBatch` rounds against it. Source
-    * offsets + the engine's own round snapshots make the whole pipeline
-    * resumable (T2/T5).
+  /** Extracted-table directory derived from the accumulation dir. */
+  def extractedDir(accumDir: String): String = s"$accumDir-extracted"
+
+  /** Incremental extraction: run the heavy html pass over ONLY the newly
+    * arrived pages, numbering their versions on top of the per-url max
+    * version already extracted. Equal to re-extracting the full corpus
+    * provided versions of a url arrive in non-decreasing (warc_ts,
+    * md5(html)) order across micro-batches — the file-stream + watermark
+    * contract this pipeline runs under.
+    */
+  def extractIncrement(spark: SparkSession, newPages: DataFrame, prior: Option[DataFrame]): DataFrame = {
+    val base = CrawlEngine.extractPages(spark, newPages)
+    prior match {
+      case None => base
+      case Some(p) =>
+        val offsets = p.groupBy("url").agg(max("ver").as("__prev"))
+        base
+          .join(offsets, Seq("url"), "left")
+          .withColumn("ver", col("ver") + coalesce(col("__prev"), lit(0)))
+          .drop("__prev")
+    }
+  }
+
+  /** Crawl mode as a stream: every micro-batch of arriving pages lands in a
+    * PER-EPOCH directory (`accumDir/batch=<id>`, mode overwrite — a
+    * micro-batch retried after a crash between write and checkpoint commit
+    * overwrites itself instead of appending duplicates), is extracted
+    * INCREMENTALLY (only the new pages go through the html pass — the
+    * engine's "extraction runs ONCE" contract), then the ordinary batch
+    * round driver advances `roundsPerBatch` rounds against the accumulated
+    * extracted table. Source offsets + the engine's own round snapshots
+    * make the whole pipeline resumable (T2/T5).
     */
   def crawlPerBatch(
       spark: SparkSession,
@@ -82,16 +109,30 @@ object StreamIngest {
       checkpointDir: String,
       broadcastMaxEdges: Long = 10000000L
   ): StreamingQuery = {
+    val exDir = extractedDir(accumDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(exDir),
+      spark.sparkContext.hadoopConfiguration
+    )
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("0 seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(accumDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$accumDir/batch=$batchId") // idempotent per epoch
         val io = new ParquetTableIO(spark, stateDir)
         val driver = new RoundDriver(spark, io, params, broadcastMaxEdges)
         if (io.lastCompleteRound() < 0) driver.init(seeds)
-        val pages = spark.read.schema(pageSchema).parquet(accumDir)
-        val extracted = CrawlEngine.extractPages(spark, pages).persist()
+        val newPages = spark.read.schema(pageSchema).parquet(s"$accumDir/batch=$batchId")
+        val prior =
+          if (fs.exists(new org.apache.hadoop.fs.Path(exDir)))
+            // a retried epoch must not count its own partial output
+            Some(spark.read.parquet(exDir).filter(col("batch") =!= batchId).drop("batch"))
+          else None
+        extractIncrement(spark, newPages, prior)
+          .write
+          .mode("overwrite")
+          .parquet(s"$exDir/batch=$batchId") // idempotent per epoch
+        val extracted = spark.read.parquet(exDir).drop("batch").persist()
         val target = io.lastCompleteRound() + roundsPerBatch
         driver.run(extracted, target.toInt)
         extracted.unpersist()

@@ -69,7 +69,11 @@ object IterativeWalker {
     while (live > 0 && iter < params.maxWalkSteps) {
       val adjDF = adjacency.toDF("src", "follows")
       val liveDS = state.filter(_.alive)
-      doneParts += state.filter(!_.alive) // settled walks accumulate
+      // settled walks accumulate; the eager localCheckpoint cuts their
+      // dependence on `state` so the superseded cache can be released —
+      // otherwise cached partitions pile up across up to maxWalkSteps
+      // iterations and pressure executor storage memory
+      doneParts += state.filter(!_.alive).localCheckpoint(true)
       val stepped = liveDS
         .joinWith(adjDF, liveDS("cur") === adjDF("src"), "left_outer")
         .map { case (s, adjRow) =>
@@ -88,8 +92,11 @@ object IterativeWalker {
             }
           }
         }
-      state = (if (iter % checkpointEvery == checkpointEvery - 1) stepped.localCheckpoint() else stepped).persist()
-      live = state.filter(_.alive).count()
+      val next =
+        (if (iter % checkpointEvery == checkpointEvery - 1) stepped.localCheckpoint() else stepped).persist()
+      live = next.filter(_.alive).count()
+      state.unpersist() // superseded; settled slice is checkpointed above
+      state = next
       iter += 1
     }
     doneParts += state

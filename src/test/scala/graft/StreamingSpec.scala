@@ -98,6 +98,9 @@ class StreamingSpec extends AnyFunSuite {
     val afterChunk1 = io.lastCompleteRound()
     assert(afterChunk1 >= 2, s"expected ≥2 rounds after first batch, got $afterChunk1")
     val seen1 = io.read(afterChunk1, "fetched").count()
+    // incremental extraction: the first epoch extracted exactly the arriving pages
+    val exDir = StreamIngest.extractedDir(accumDir)
+    assert(spark.read.parquet(s"$exDir/batch=0").count() === cfg.pages.toLong)
 
     // chunk 2 arrives (re-published versions) → more rounds on the union
     val v2 = (0L until cfg.pages.toLong).filter(PagesGen.isRepublished).map(pid => PagesGen.pageOf(cfg, pid, 2))
@@ -109,6 +112,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterChunk2 > afterChunk1, "crawl did not advance on the second micro-batch")
     val seen2 = io.read(afterChunk2, "fetched").count()
     assert(seen2 > seen1, "seen set did not grow")
+    // second epoch extracted ONLY the newly arrived re-published versions,
+    // with version numbers continuing above the first epoch's (ver = 2)
+    val nRepub = (0L until cfg.pages.toLong).count(PagesGen.isRepublished).toLong
+    val b1 = spark.read.parquet(s"${StreamIngest.extractedDir(accumDir)}/batch=1")
+    assert(b1.count() === nRepub)
+    assert(b1.filter(org.apache.spark.sql.functions.col("ver") === 2).count() === nRepub)
     // crawl invariants hold on streamed state
     val walks = io.read(afterChunk2, "walks").collect()
     walks.foreach { r =>
