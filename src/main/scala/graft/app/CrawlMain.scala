@@ -18,9 +18,40 @@ import graft.round.{CrawlEngine, ParquetTableIO, RoundDriver}
   * by the north rule) and a final summary with URLs-scheduled/sec.
   */
 object CrawlMain {
-  def main(args: Array[String]): Unit = {
+
+  /** `rank` subcommand: personalized PageRank for a source node over a
+    * crawl checkpoint (reference `pagerank.Personalized`). Prints the top-k
+    * visited nodes as one JSON line.
+    */
+  private def rankMain(args: Array[String]): Unit = {
     if (args.length < 3) {
-      System.err.println("usage: CrawlMain <tiny|small|bench> <stateDir> <maxRounds> [cores] [batch] [hostBudget] [walksPerNode]")
+      System.err.println("usage: CrawlMain rank <stateDir> <sourceId> [targetLength] [topK] [cores]")
+      sys.exit(2)
+    }
+    val stateDir = args(1)
+    val source = args(2).toLong
+    val targetLength = if (args.length > 3) args(3).toInt else 100000
+    val topK = if (args.length > 4) args(4).toInt else 20
+    val cores = if (args.length > 5) args(5).toInt else 8
+    val spark = Sessions.local(cores, appName = "graft-rank")
+    val io = new ParquetTableIO(spark, stateDir)
+    val last = io.lastCompleteRound()
+    require(last >= 0, s"no completed rounds under $stateDir")
+    import spark.implicits._
+    val walks = io.read(last, "walks").as[graft.core.WalkRow]
+    val edges = io.read(last, "edges")
+    val freq =
+      graft.walks.Personalized.personalizedOverEdges(spark, walks, edges, source, targetLength, CrawlParams())
+    val top = freq.toSeq.sortBy { case (n, f) => (-f, n) }.take(topK)
+    val items = top.map { case (n, f) => s"""{"node":$n,"rank":$f}""" }.mkString(",")
+    println(s"""{"event":"personalized","source":$source,"round":$last,"top":[$items]}""")
+    spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 1 && args(0) == "rank") { rankMain(args); return }
+    if (args.length < 3) {
+      System.err.println("usage: CrawlMain <tiny|small|bench> <stateDir> <maxRounds> [cores] [batch] [hostBudget] [walksPerNode] | CrawlMain rank <stateDir> <sourceId> [targetLength] [topK] [cores]")
       sys.exit(2)
     }
     val cfg = args(0) match {
@@ -66,7 +97,8 @@ object CrawlMain {
           s""""newNodes":${m.newNodes},"newEdges":${m.newEdges},"removedEdges":${m.removedEdges},""" +
           s""""walksChanged":${m.walksChanged},"totalWalks":${m.totalWalks},"promoted":${m.promoted},""" +
           s""""demoted":${m.demoted},"seen":${m.seenSize},"pending":${m.pendingSize},""" +
-          s""""scanRan":${m.scanRan},"wallMillis":${m.wallMillis}}"""
+          s""""scanRan":${m.scanRan},"wallMillis":${m.wallMillis},""" +
+          s""""driverResolvedNodes":${m.driverResolvedNodes},"driverDeltaEntries":${m.driverDeltaEntries}}"""
       )
     }
     val scheduled = result.traces.map(_.metrics.scheduled).sum

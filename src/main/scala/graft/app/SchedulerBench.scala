@@ -56,8 +56,11 @@ object SchedulerBench {
     // bloom over the initial seen set (the engine maintains the same filter
     // incrementally; rebuilt here in one distributed pass), then merged
     // per-batch inside the timed loop — the full bloom-prefiltered
-    // scheduling path the engine runs
-    val bloom = fetched.stat.bloomFilter("url", n.toLong, 0.01)
+    // scheduling path the engine runs. Holds xxhash64(url) longs; sized to
+    // the seen set (initial + everything this run will schedule), like the
+    // engine — never to the frontier.
+    val seenCapacity = math.max((n / 10 + (iters + 1).toLong * batch) * 2, 100000L)
+    val bloom = fetched.select(xxhash64($"url").as("h")).stat.bloomFilter("h", seenCapacity, 0.01)
 
     // warm-up iteration (excluded)
     val warm = graft.frontier.Politeness
@@ -65,7 +68,7 @@ object SchedulerBench {
       .select($"url")
       .localCheckpoint(true)
     fetched = fetched.union(warm).localCheckpoint(true)
-    warm.collect().foreach(r => bloom.putString(r.getString(0)))
+    warm.collect().foreach(r => bloom.putLong(Rng.sparkXxhash64String(r.getString(0))))
 
     val batches = Vector.newBuilder[org.apache.spark.sql.DataFrame]
     val t1 = System.nanoTime()
@@ -78,7 +81,7 @@ object SchedulerBench {
         .localCheckpoint(true)
       val rows = b.collect()
       scheduled += rows.length
-      rows.foreach(r => bloom.putString(r.getString(0))) // incremental seen-bloom upkeep
+      rows.foreach(r => bloom.putLong(Rng.sparkXxhash64String(r.getString(0)))) // incremental seen-bloom upkeep
       batches += b
       fetched = fetched.union(b).localCheckpoint(true)
       i += 1

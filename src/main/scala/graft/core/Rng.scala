@@ -32,4 +32,12 @@ object Rng extends Serializable {
     val i = (d * n).toInt
     if (i >= n) n - 1 else i // guard the d ~ 1.0 edge
   }
+
+  /** Driver-side twin of the `xxhash64(string)` SQL expression (seed 42) —
+    * lets the driver maintain a bloom filter of url hashes that the native
+    * codegen'd `might_contain(bloom, xxhash64(url))` predicate then probes.
+    */
+  def sparkXxhash64String(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s), org.apache.spark.sql.types.StringType, 42L)
 }

@@ -111,5 +111,13 @@ case class RoundMetrics(
     seenSize: Long,
     pendingSize: Long,
     scanRan: Boolean,
-    wallMillis: Long
+    wallMillis: Long,
+    /** Nodes whose follow lists the driver resolved this round (the
+      * SubgraphWalks cache) — the driver-side graph footprint, O(batch ×
+      * degree + walk changes), asserted flat against crawl progress in
+      * BASELINE.md §3.4.
+      */
+    driverResolvedNodes: Long = 0L,
+    /** Total delta-list entries broadcast for walk repair this round. */
+    driverDeltaEntries: Long = 0L
 )

@@ -55,10 +55,18 @@ object Politeness {
   ): DataFrame = {
     val pending = seenBloom match {
       case Some(bf) =>
+        // The filter holds xxhash64(url) longs (put via
+        // Rng.sparkXxhash64String); hashing stays codegen'd on the column
+        // side and only the final bit-probe crosses into a long→boolean
+        // UDF over a broadcast of the filter. (A native
+        // BloomFilterMightContain literal was measured worse: the
+        // multi-MB filter bytes travel inside every stage's task binary
+        // instead of one torrent broadcast.)
         val bBloom = enqueued.sparkSession.sparkContext.broadcast(bf)
-        val mightContain = udf((u: String) => bBloom.value.mightContainString(u))
-        val definitelyNew = enqueued.filter(!mightContain(col("url")))
-        val maybeSeen = enqueued.filter(mightContain(col("url"))).join(fetched, Seq("url"), "left_anti")
+        val probe = udf((h: Long) => bBloom.value.mightContainLong(h))
+        val mightContain = probe(xxhash64(col("url")))
+        val definitelyNew = enqueued.filter(!mightContain)
+        val maybeSeen = enqueued.filter(mightContain).join(fetched, Seq("url"), "left_anti")
         definitelyNew.union(maybeSeen)
       case None => enqueued.join(fetched, Seq("url"), "left_anti")
     }

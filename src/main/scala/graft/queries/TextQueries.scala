@@ -311,6 +311,58 @@ object TextQueries {
        |FROM sums ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
+  /** q38 — MULTI-probe bucketed ANN (the recall knob q28 lacks): probe the
+    * query's sign-bucket plus all 8 Hamming-distance-1 neighbor buckets —
+    * 9 of 256 partitions scanned instead of 1, trading a bounded fan-out
+    * for recall (the standard multi-probe LSH scheme).
+    */
+  def q38AnnMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bucket = (1 to 8)
+      .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
+      .reduce((a, b) => concat(a, b))
+    val emb = t(dir, "embeddings").withColumn("bucket", bucket)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+    val flips: Seq[Column] = (1 to 8).map { i =>
+      concat(
+        expr(s"substring(qbucket, 1, ${i - 1})"),
+        when(expr(s"substring(qbucket, $i, 1)") === "1", lit("0")).otherwise(lit("1")),
+        expr(s"substring(qbucket, ${i + 1}, ${8 - i})")
+      )
+    }
+    val probes = q.select(col("qe"), explode(array(col("qbucket") +: flips: _*)).as("bucket"))
+    val dot = expr(
+      "aggregate(zip_with(embedding, qe, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    val nx = expr("aggregate(embedding, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    val ny = expr("aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    emb
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos_sim", round(dot / (sqrt(nx) * sqrt(ny)), 4))
+      .select("vec_id", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+  val q38Sql: String = {
+    val b = (1 to 8)
+      .map(i => s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val flips = (1 to 8)
+      .map(i =>
+        s"substr(qbucket, 1, ${i - 1}) || (CASE WHEN substr(qbucket, $i, 1) = '1' THEN '0' ELSE '1' END) || substr(qbucket, ${i + 1}, ${8 - i})"
+      )
+      .mkString(", ")
+    s"""WITH e AS (SELECT *, $b AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qbucket FROM e WHERE vec_id = 0),
+       |probes AS (SELECT qe, unnest([qbucket, $flips]) AS bucket FROM q),
+       |pairs AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(p.qe) AS DOUBLE) AS y
+       |          FROM e JOIN probes p ON e.bucket = p.bucket WHERE e.vec_id <> 0),
+       |sums AS (SELECT vec_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny FROM pairs GROUP BY vec_id)
+       |SELECT vec_id, CAST(round(dot / (sqrt(nx) * sqrt(ny)), 4) AS DOUBLE) AS cos_sim
+       |FROM sums ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
+
   // ---------- end-to-end LSH near-dup dedup (q33/q34) ----------
   // Pipeline: 3-gram shingles → 8 md5-minhashes → 2 bands of 4 → bucket
   // self-join (shuffle by band key, never all-pairs) → candidate pairs →
@@ -462,7 +514,8 @@ object TextQueries {
     "q27_ivf_buckets" -> q27IvfBuckets _,
     "q28_ann_bucketed" -> q28AnnBucketed _,
     "q33_lsh_dedup_pairs" -> q33LshDedupPairs _,
-    "q34_dedup_clusters" -> q34DedupClusters _
+    "q34_dedup_clusters" -> q34DedupClusters _,
+    "q38_ann_multiprobe" -> q38AnnMultiProbe _
   )
 
   val oracles: Map[String, String] = Map(
@@ -478,6 +531,7 @@ object TextQueries {
     "q27_ivf_buckets" -> q27Sql,
     "q28_ann_bucketed" -> q28Sql,
     "q33_lsh_dedup_pairs" -> q33Sql,
-    "q34_dedup_clusters" -> q34Sql
+    "q34_dedup_clusters" -> q34Sql,
+    "q38_ann_multiprobe" -> q38Sql
   )
 }

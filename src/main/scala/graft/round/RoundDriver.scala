@@ -271,10 +271,16 @@ class RoundDriver(
     val fetchedCount = fetchedC.count()
     val enqueuedCount = enqueuedC.count()
     // distributed one-pass bloom rebuild over the seen set (resume only;
-    // rounds maintain it incrementally from the batch)
+    // rounds maintain it incrementally from the batch). The filter holds
+    // xxhash64(url) longs so the schedule can probe it with the native
+    // codegen'd might_contain expression.
     val bloom =
       if (fetchedCount == 0) org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)
-      else fetchedC.stat.bloomFilter("url", math.max(fetchedCount * 2, 100000L), 0.01)
+      else
+        fetchedC
+          .select(xxhash64($"url").as("h"))
+          .stat
+          .bloomFilter("h", math.max(fetchedCount * 2, 100000L), 0.01)
     State(
       nodesC,
       edgesC,
@@ -411,6 +417,7 @@ class RoundDriver(
     var walksChanged = 0L
     var newEdgesCount = 0L
     var removedEdgesCount = 0L
+    var deltaEntries = 0L
     val maxWaves = verInfo.map(_._3).foldLeft(0)(math.max)
     require(
       maxWaves <= 14,
@@ -444,17 +451,31 @@ class RoundDriver(
           .as[String]
         val base = st.nextId
         val rnd = round
-        val newNodesDF = spark
-          .createDataset(
-            unknown.rdd
-              .sortBy(identity)
-              .zipWithIndex()
-              .map { case (u, i) => NodeRow(base + i, u, Extract.hostOf(u), NodeStatus.Inactive, rnd, -1L, -1L) }
-          )
-          .toDF
-          .persist()
+        // unknown urls are bounded by the wave's links (O(batch × degree));
+        // when they fit the driver (always, unless batches are huge) a
+        // single limit-probed collect + driver sort assigns ids in one job;
+        // the fully distributed sort+zipWithIndex is the fallback — both
+        // produce the identical sorted-rank assignment.
+        val maxDriverUnknown = 2000000
+        val probe = phase(round, s"ids-w$wave") { unknown.limit(maxDriverUnknown + 1).collect() }
+        val newNodesDF = (if (probe.length <= maxDriverUnknown) {
+                            spark.createDataset(
+                              probe.sorted.zipWithIndex.toSeq.map { case (u, i) =>
+                                NodeRow(base + i, u, Extract.hostOf(u), NodeStatus.Inactive, rnd, -1L, -1L)
+                              }
+                            )
+                          } else {
+                            spark.createDataset(
+                              unknown.rdd
+                                .sortBy(identity)
+                                .zipWithIndex()
+                                .map { case (u, i) =>
+                                  NodeRow(base + i, u, Extract.hostOf(u), NodeStatus.Inactive, rnd, -1L, -1L)
+                                }
+                            )
+                          }).toDF.persist()
         tmpCaches += newNodesDF
-        val nNew = phase(round, s"ids-w$wave") { newNodesDF.count() }
+        val nNew = if (probe.length <= maxDriverUnknown) probe.length.toLong else newNodesDF.count()
         if (nNew > 0) {
           st.nextId += nNew
           newNodesCount += nNew
@@ -495,6 +516,7 @@ class RoundDriver(
             touchedAuthors += a
             removedEdgesCount += d.remove.length
             newEdgesCount += d.add.length
+            deltaEntries += d.remove.length + d.keep.length + d.add.length
             st.totalEdges += d.add.length - d.remove.length
           }
           val touchedDF = broadcast(spark.createDataset(deltas.keySet.toSeq).toDF("aid"))
@@ -725,7 +747,7 @@ class RoundDriver(
     oldWalks.unpersist()
     st.visits = st.visits.localCheckpoint(true)
     st.fetchedCount += batchUrls.size
-    batchUrls.foreach(st.seenBloom.putString) // incremental seen-bloom maintenance
+    batchUrls.foreach(u => st.seenBloom.putLong(Rng.sparkXxhash64String(u))) // incremental seen-bloom upkeep
     // small tables: per-round localCheckpoint keeps their plans shallow
     // (status updates add two joins per round — Catalyst replanning of deep
     // chains costs more than materializing these small tables)
@@ -776,7 +798,9 @@ class RoundDriver(
       // pure arithmetic: fetched ⊆ enqueued (batches are cut from pending)
       pendingSize = st.enqueuedCount - st.fetchedCount,
       scanRan = scanRan,
-      wallMillis = wallMillis
+      wallMillis = wallMillis,
+      driverResolvedNodes = resolver.size.toLong,
+      driverDeltaEntries = deltaEntries
     )
     io.write(round, "metrics", spark.createDataset(Seq(m)).toDF)
     // per-partition lineage of the walk state (north_rule observability)

@@ -157,4 +157,35 @@ object Personalized {
       .toSeq
     personalizedFrequencies(adjF, poolWalks, source, targetLength, params)
   }
+
+  /** Distributed-adjacency entry: like [[personalized]] but against the
+    * edges TABLE — follow lists resolve on demand through a
+    * SubgraphWalks.Resolver (seeded with the source neighborhood + the pool
+    * walks' nodes), so the driver never holds the crawled graph. Identical
+    * output to the map form: the splice loop sees the same lists.
+    */
+  def personalizedOverEdges(
+      spark: SparkSession,
+      walks: Dataset[WalkRow],
+      edges: org.apache.spark.sql.DataFrame,
+      source: Long,
+      targetLength: Int,
+      params: CrawlParams
+  ): Map[Long, Double] = {
+    val resolver = new SubgraphWalks.Resolver(spark, () => edges)
+    resolver.resolve(Seq(source), expandHops = 2)
+    val adjF: WalkAlgebra.Adjacency = resolver.list
+    val follows = adjF(source)
+    if (follows.isEmpty) return Map(source -> 1.0)
+    val targetWalks = (targetLength * (1 - params.alpha)).toInt
+    val poolWalks = walksVisitingAny(walks, follows.toSeq :+ source, targetWalks, params.seed)
+      .collect()
+      .sortBy(_.walkId)
+      .map(_.path)
+      .toSeq
+    // pre-resolve every node the pool can graft through (bounded by the
+    // sampled pool, not the graph)
+    resolver.resolve(poolWalks.iterator.flatten.toSeq)
+    personalizedFrequencies(adjF, poolWalks, source, targetLength, params)
+  }
 }

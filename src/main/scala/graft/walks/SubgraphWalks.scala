@@ -70,6 +70,14 @@ object SubgraphWalks {
       ids.iterator.map(i => i -> known(i)).toMap
     }
 
+    /** One follow list, fetched on demand (driver-side sequential use —
+      * e.g. the personalized-rank splice loop).
+      */
+    def list(n: Long): Array[Long] = {
+      if (!known.contains(n)) resolve(Seq(n), expandHops = 1)
+      known(n)
+    }
+
     /** Cap on speculative BFS expansion per resolve call — at web scale an
       * uncapped multi-hop expansion from a mega-hub would fetch the world.
       */

@@ -111,5 +111,13 @@ class PersonalizedSpec extends AnyFunSuite {
     val expected = Array(0.54054, 0.22973, 0.22973, 0.0)
     val d = l1(got, expected)
     assert(d <= 0.015, s"distributed personalized L1=$d got=${got.mkString(",")}")
+
+    // the edges-table form (on-demand resolver, no driver adjacency map)
+    // must produce the IDENTICAL frequency map — same draws, same lists
+    val edgesDF = edges.toSeq
+      .flatMap { case (s, ds) => ds.map(dd => (s, dd)) }
+      .toDF("src", "dst")
+    val freqs2 = Personalized.personalizedOverEdges(spark, walksDS, edgesDF, 0L, L, p)
+    assert(freqs2 === freqs, "resolver-backed personalized rank diverged from the map form")
   }
 }
