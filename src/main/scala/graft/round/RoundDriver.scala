@@ -104,6 +104,14 @@ class RoundDriver(
       * replay path).
       */
     compactOnExit: Boolean = true,
+    /** Above this many delta-list entries in one wave, walk repair switches
+      * from the driver-resolver path (SubgraphWalks — cheapest for small
+      * incremental waves) to the fully distributed join-per-hop
+      * IterativeRepair (mandatory for mass-refresh waves, whose graft
+      * neighborhoods would otherwise drag much of the graph through the
+      * driver); results are identical either way.
+      */
+    iterativeRepairMinEntries: Long = 20000L,
     /** robots.txt disallow rules (host, path-prefix); urls matching a rule
       * for their host are never scheduled (north_rule robots gate).
       */
@@ -525,11 +533,19 @@ class RoundDriver(
             .join(touchedDF, st.edges("src") === col("aid"), "left_anti")
             .union(spark.createDataset(newEdgeRows).toDF)
 
-          // distributed walk repair against the wave's deltas, adjacency
-          // resolved on demand from the updated edges table (the reference
-          // updates the graph before repairing, engine.go:346-369)
+          // distributed walk repair against the wave's deltas (the reference
+          // updates the graph before repairing, engine.go:346-369): small
+          // waves resolve adjacency on demand from the updated edges table;
+          // big waves run the fully distributed join-per-hop repair
+          val waveEntries = deltas.valuesIterator.map(d => (d.remove.length + d.keep.length + d.add.length).toLong).sum
           val (changed, nChanged) = phase(round, s"repair-w$wave") {
-            SubgraphWalks.repairAll(spark, st.walks, resolver, deltas, round, wave, params)
+            if (waveEntries > iterativeRepairMinEntries) {
+              val adjDS = graft.walks.IterativeWalker.adjacencyTable(
+                spark,
+                st.edges.as[EdgeRow].map(e => (e.src, e.dst))
+              )
+              graft.walks.IterativeRepair.repairAll(spark, st.walks, adjDS, resolver, deltas, round, wave, params)
+            } else SubgraphWalks.repairAll(spark, st.walks, resolver, deltas, round, wave, params)
           }
           tmpCaches += changed
           walksChanged += nChanged

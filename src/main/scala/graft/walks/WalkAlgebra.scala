@@ -49,6 +49,46 @@ object WalkAlgebra extends Serializable {
   @inline def genNextIndex(params: CrawlParams, walkId: Long, round: Long, wave: Int, step: Long, n: Int): Int =
     Rng.uniformIndex(params.seed, walkId, stepKey(round, wave, step), GenNext, n)
 
+  /** Public repair-decision draws (reference ToUpdate, walks.go:199-244).
+    * Counter-based draws are pure functions of their keys, so exposing them
+    * changes nothing about the draw sequence — the distributed repair makes
+    * the exact same decisions as [[repairWalk]].
+    */
+  @inline def repResamples(params: CrawlParams, walkId: Long, round: Long, wave: Int, pos: Long, d: DeltaRow): Boolean = {
+    val a = d.add.length.toDouble
+    val kc = d.keep.length.toDouble
+    val resampleP = if (d.add.isEmpty) 0.0 else a / (a + kc)
+    Rng.u01(params.seed, walkId, stepKey(round, wave, pos), RepResample) < resampleP
+  }
+
+  @inline def repAlphaPasses(params: CrawlParams, walkId: Long, round: Long, wave: Int, pos: Long): Boolean =
+    Rng.u01(params.seed, walkId, stepKey(round, wave, pos), RepAlpha) < params.alpha
+
+  /** Public segment draws — the distributed join-per-hop repair
+    * (IterativeRepair) must make the exact same draws as
+    * [[generateSegment]]. `posKey` namespaces a segment within
+    * (walk, round, wave); the start draw uses slot 0 of the segment's
+    * key block, step draws use slots step+1.
+    */
+  @inline def segMaxSteps(params: CrawlParams): Long = math.min(params.maxWalkSteps.toLong, 1023L)
+
+  @inline def segStartIndex(params: CrawlParams, walkId: Long, round: Long, wave: Int, posKey: Long, n: Int): Int =
+    Rng.uniformIndex(params.seed, walkId, stepKey(round, wave, posKey << 10), SegStart, n)
+
+  @inline def segContinues(params: CrawlParams, walkId: Long, round: Long, wave: Int, posKey: Long, step: Long): Boolean =
+    Rng.u01(params.seed, walkId, stepKey(round, wave, (posKey << 10) | (step + 1)), SegContinue) <= params.alpha
+
+  @inline def segNextIndex(
+      params: CrawlParams,
+      walkId: Long,
+      round: Long,
+      wave: Int,
+      posKey: Long,
+      step: Long,
+      n: Int
+  ): Int =
+    Rng.uniformIndex(params.seed, walkId, stepKey(round, wave, (posKey << 10) | (step + 1)), SegNext, n)
+
   /** Adjacency access. Follow lists MUST be sorted ascending by node id —
     * next-hop selection picks by index, so ordering is part of the spec.
     */
@@ -102,21 +142,19 @@ object WalkAlgebra extends Serializable {
       params: CrawlParams
   ): Array[Long] = {
     if (pool.isEmpty) return Array.empty
-    val base = posKey << 10 // ≤ 2^20 given pos < 1024 and ≤ 1024 segment steps
-    val start = pool(Rng.uniformIndex(params.seed, walkId, stepKey(round, wave, base), SegStart, pool.length))
+    val start = pool(segStartIndex(params, walkId, round, wave, posKey, pool.length))
     val path = scala.collection.mutable.ArrayBuffer[Long](start)
     var node = start
     var step = 0L
-    val maxSeg = math.min(params.maxWalkSteps.toLong, 1023L)
+    val maxSeg = segMaxSteps(params)
     var done = false
     while (!done && step < maxSeg) {
-      val k = stepKey(round, wave, base | (step + 1))
-      if (Rng.u01(params.seed, walkId, k, SegContinue) > params.alpha) done = true
+      if (!segContinues(params, walkId, round, wave, posKey, step)) done = true
       else {
         val follows = adj(node)
         if (follows.isEmpty) done = true
         else {
-          val next = follows(Rng.uniformIndex(params.seed, walkId, k, SegNext, follows.length))
+          val next = follows(segNextIndex(params, walkId, round, wave, posKey, step, follows.length))
           if (path.contains(next)) done = true
           else { path += next; node = next }
         }
@@ -193,15 +231,11 @@ object WalkAlgebra extends Serializable {
       deltas.get(path(pos)) match {
         case Some(d) =>
           val posL = pos.toLong
-          val k = stepKey(round, wave, posL)
-          val a = d.add.length.toDouble
-          val kc = d.keep.length.toDouble
-          val resampleP = if (d.add.isEmpty) 0.0 else a / (a + kc)
-          val resample = Rng.u01(params.seed, walkId, k, RepResample) < resampleP
+          val resample = repResamples(params, walkId, round, wave, posL, d)
           val invalid = pos + 1 < path.length && d.remove.contains(path(pos + 1))
           if (resample) {
             var np = path.take(pos + 1)
-            if (Rng.u01(params.seed, walkId, k, RepAlpha) < params.alpha) {
+            if (repAlphaPasses(params, walkId, round, wave, posL)) {
               val seg = generateSegment(adj, d.add, walkId, round, wave, posL + 1, params)
               np = graft(np, seg)
             }

@@ -53,7 +53,8 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
       broadcastMaxEdges: Long = 10000000L,
       compactOnExit: Boolean = true,
       robots: Seq[(String, String)] = Nil,
-      runParams: graft.core.CrawlParams = params
+      runParams: graft.core.CrawlParams = params,
+      iterativeRepairMinEntries: Long = 20000L
   ): CrawlEngine.Result = {
     import spark.implicits._
     val pagesDF = spark.createDataset(pageRows).toDF
@@ -61,7 +62,15 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     val io = new ParquetTableIO(spark, dir)
     val robotsDF = if (robots.isEmpty) None else Some(spark.createDataset(robots).toDF("host", "prefix"))
     val driver =
-      new RoundDriver(spark, io, runParams, broadcastMaxEdges, compactOnExit = compactOnExit, robots = robotsDF)
+      new RoundDriver(
+        spark,
+        io,
+        runParams,
+        broadcastMaxEdges,
+        compactOnExit = compactOnExit,
+        robots = robotsDF,
+        iterativeRepairMinEntries = iterativeRepairMinEntries
+      )
     if (io.lastCompleteRound() < 0) driver.init(seeds)
     val res = driver.run(extracted, maxRounds)
     extracted.unpersist()
@@ -195,6 +204,23 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     })
     assert(walks === spec4.walks.map { case (k, v) => k -> v.toSeq })
     val _ = specNodes
+  }
+
+  test("forced-iterative walk REPAIR yields the identical crawl") {
+    // iterativeRepairMinEntries=0 forces the fully distributed join-per-hop
+    // repair (the mass-refresh scale path) for EVERY wave — final state
+    // must be byte-identical to the spec
+    val dir = Files.createTempDirectory("crawl-iter-repair").toString
+    runEngine(4, dir, iterativeRepairMinEntries = 0L)
+    val (nodes, adjacency, walks, seen) = engineState(dir)
+    val pv = pageRows.map(p => SequentialSpec.PageV(p.url, p.warc_ts.getTime / 1000, p.html, p.text))
+    val spec4 = SequentialSpec.run(pv, seeds, params, 4)
+    assert(seen === spec4.seen)
+    assert(nodes === spec4.nodes.map { case (id, st) =>
+      id -> ((st.url, st.status, st.addedRound, st.promotedRound, st.demotedRound))
+    })
+    assert(adjacency === spec4.adjacency.collect { case (k, v) if v.nonEmpty => k -> v.toSeq })
+    assert(walks === spec4.walks.map { case (k, v) => k -> v.toSeq })
   }
 
   test("resumability: stop after round 3, resume, final state identical") {
