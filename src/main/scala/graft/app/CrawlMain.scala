@@ -73,7 +73,11 @@ object CrawlMain {
     val pages = PagesGen.generate(spark, cfg, partitions = cores * 4)
     val extracted = CrawlEngine.extractPages(spark, pages.toDF).persist()
 
-    val io = new ParquetTableIO(spark, stateDir)
+    // GRAFT_BUCKETED_IO=1 stores the big state tables clustered by their
+    // join keys (BucketedTableIO — the Iceberg bucket-transform stand-in).
+    val io: ParquetTableIO =
+      if (sys.env.get("GRAFT_BUCKETED_IO").contains("1")) new graft.round.BucketedTableIO(spark, stateDir)
+      else new ParquetTableIO(spark, stateDir)
     // GRAFT_BROADCAST_MAX_EDGES=0 forces the join-based iterative walker
     // (the 10^10-frontier generation path) instead of broadcast adjacency.
     val broadcastMax = sys.env.getOrElse("GRAFT_BROADCAST_MAX_EDGES", "10000000").toLong
