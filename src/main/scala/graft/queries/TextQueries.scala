@@ -467,21 +467,23 @@ object TextQueries {
       .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
       .persist()
     var labels = edgesBoth.select(col("node")).distinct().withColumn("label", col("node")).persist()
-    var changed = 1L
-    while (changed > 0) {
+    // min-label propagation: labels only ever decrease, so the label SUM
+    // strictly decreases until the fixpoint — an exact convergence test for
+    // one aggregate per iteration instead of a join
+    var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
+    var converged = false
+    while (!converged) {
       val prop = edgesBoth
         .join(labels, Seq("node"))
         .select(col("nbr").as("node"), col("label"))
         .union(labels)
         .groupBy("node")
-        .agg(min(col("label")).as("newLabel"))
+        .agg(min(col("label")).as("label"))
         .persist()
-      changed = prop
-        .join(labels, Seq("node"))
-        .filter(col("newLabel") < col("label"))
-        .count()
+      val s = prop.agg(sum(col("label"))).first().getLong(0)
       labels.unpersist()
-      labels = prop.select(col("node"), col("newLabel").as("label")).persist()
+      labels = prop
+      if (s == prevSum) converged = true else prevSum = s
     }
     val out = labels
       .groupBy(col("label").as("keeper"))
