@@ -339,6 +339,7 @@ object RelationalQueries {
     */
   def q17PagerankIter(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    import spark.implicits._
     val n = t(dir, "customer").count()
     val nodes = t(dir, "customer").select(col("c_custkey").cast("long").as("node"))
     val edges = t(dir, "orders")
@@ -362,7 +363,18 @@ object RelationalQueries {
         .select(col("node"), (lit(0.15 / n) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
     }
     val out = ranks.select(col("node"), round(col("rank") * 1000, 6).as("rank_k")).orderBy("node")
-    out
+    // one row per node: collect + local relation when small so the cached
+    // edges table can be released before returning (no cache outlives the
+    // query); above the gate, release anyway and let AQE exchange reuse
+    // cover the recompute
+    if (n <= 2000000L) {
+      val rows = out.as[(Long, Double)].collect().sortBy(_._1)
+      edges.unpersist()
+      spark.createDataset(rows.toIndexedSeq).toDF("node", "rank_k")
+    } else {
+      edges.unpersist()
+      out
+    }
   }
   val q17Sql: String =
     """WITH RECURSIVE

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over the `documents` and `embeddings`
@@ -128,10 +129,15 @@ object TextQueries {
     */
   def q23Jaccard(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val toks = tokens(t(dir, "documents")).persist()
-    val qset = toks.filter(col("doc_id") === 0).select(col("tok").as("qtok"))
+    import spark.implicits._
+    val toks = tokens(t(dir, "documents"))
+    // the query doc's token set is O(one document) — collect it once instead
+    // of persisting the full token table (a persist here outlived the query,
+    // leaking cache across a long driver session)
+    val qtoks = toks.filter(col("doc_id") === 0).select("tok").as[String].collect()
+    val qsz = qtoks.length.toLong
+    val qset = broadcast(spark.createDataset(qtoks.toSeq).toDF("qtok"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val qsz = qset.count()
     val inter = toks
       .join(qset, col("tok") === col("qtok"))
       .groupBy("doc_id")
@@ -384,22 +390,76 @@ object TextQueries {
         ).as("tok")
       )
 
-  /** Verified near-dup pairs: LSH candidates with exact shingle-Jaccard. */
-  private def verifiedPairs(docs: DataFrame): DataFrame = {
+  /** Bucket-size cap for the LSH band self-join. A band bucket of n docs
+    * emits n(n−1)/2 candidate pairs ON ONE SHUFFLE KEY — a boilerplate
+    * mega-bucket (template pages, a certainty in a web corpus) would go
+    * quadratic with maximal skew. Buckets above the cap are DROPPED before
+    * pairing (the standard production guard): a bucket that large carries
+    * no near-dup signal anyway — its members are either exact dups (caught
+    * upstream by q18's hash dedup) or template boilerplate. Candidate-pair
+    * work is thereby bounded by O(cap² · buckets). Mirrored verbatim in the
+    * DuckDB oracles (HAVING count(*) BETWEEN 2 AND cap), so q33/q34 stay
+    * value-level checked; TextDedupSpec pins the mega-bucket behavior.
+    */
+  private[graft] val LshMaxBucket = 4096
+
+  /** (doc_id, band, b): each doc's LSH band-bucket keys (2 bands of 4
+    * minhashes over 3-gram shingles).
+    */
+  private[graft] def bandBuckets(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
     def h(k: Int): Column = min(md5(concat(lit(s"s$k:"), col("tok")).cast("binary"))).as(s"h$k")
     val sig = sh.groupBy("doc_id").agg(h(1), h(2), h(3), h(4), h(5), h(6), h(7), h(8))
-    val bands = sig
+    sig
       .select(col("doc_id"), md5(concat(col("h1"), col("h2"), col("h3"), col("h4")).cast("binary")).as("b"), lit(1).as("band"))
       .union(
         sig.select(col("doc_id"), md5(concat(col("h5"), col("h6"), col("h7"), col("h8")).cast("binary")).as("b"), lit(2).as("band"))
       )
-    val cand = bands
-      .select(col("band"), col("b"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("band"), col("b"), col("doc_id").as("doc_b")), Seq("band", "b"))
+  }
+
+  /** Band buckets above the cap (band, b, n_docs) — the buckets the
+    * candidate join drops. Exposed for logging/monitoring and pinned by
+    * TextDedupSpec's mega-bucket fixture.
+    */
+  private[graft] def oversizeBandBuckets(docs: DataFrame, maxBucket: Int = LshMaxBucket): DataFrame =
+    bandBuckets(docs)
+      .groupBy("band", "b")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
+  /** LSH candidate pairs, bucket-capped: only buckets with 2..maxBucket
+    * members self-join (count via a window over the same (band, b) shuffle
+    * the join needs — no extra job).
+    */
+  private[graft] def candidatePairs(docs: DataFrame, maxBucket: Int = LshMaxBucket): DataFrame = {
+    val w = Window.partitionBy("band", "b")
+    val ok = bandBuckets(docs)
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxBucket))
+      .drop("__n")
+    ok.select(col("band"), col("b"), col("doc_id").as("doc_a"))
+      .join(ok.select(col("band"), col("b"), col("doc_id").as("doc_b")), Seq("band", "b"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
+
+  /** Verified near-dup pairs: LSH candidates with exact shingle-Jaccard.
+    * Dropped oversize buckets are logged when GRAFT_LSH_LOG=1 (the log
+    * costs one extra signature pass, so it is opt-in for the bench path;
+    * [[oversizeBandBuckets]] is always available for monitoring).
+    */
+  private def verifiedPairs(docs: DataFrame, maxBucket: Int = LshMaxBucket): DataFrame = {
+    if (sys.env.get("GRAFT_LSH_LOG").contains("1")) {
+      val dropped = oversizeBandBuckets(docs, maxBucket).collect()
+      if (dropped.nonEmpty)
+        System.err.println(
+          s"[lsh] dropped ${dropped.length} band buckets above cap=$maxBucket: " +
+            dropped.take(5).map(r => s"(band=${r.getInt(0)}, n=${r.getLong(2)})").mkString(", ")
+        )
+    }
+    val sh = shingles(docs)
+    val cand = candidatePairs(docs, maxBucket)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
@@ -415,7 +475,7 @@ object TextQueries {
   }
 
   private val shingleSqlPrefix: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS tok
       |       FROM w, (SELECT unnest(range(1, 4001)) AS i) r WHERE i + 2 <= len(ws)),
       |sig AS (SELECT doc_id,
@@ -424,8 +484,10 @@ object TextQueries {
       |        FROM sh GROUP BY doc_id),
       |bands AS (SELECT doc_id, md5(h1 || h2 || h3 || h4) AS b, 1 AS band FROM sig
       |          UNION ALL SELECT doc_id, md5(h5 || h6 || h7 || h8) AS b, 2 AS band FROM sig),
+      |bok AS (SELECT band, b FROM bands GROUP BY band, b HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |         FROM bands x JOIN bands y ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
+      |         FROM bands x JOIN bok k ON x.band = k.band AND x.b = k.b
+      |         JOIN bands y ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
       |          JOIN sh ta ON ta.doc_id = c.doc_a JOIN sh tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
@@ -455,22 +517,42 @@ object TextQueries {
         |SELECT doc_a, doc_b, CAST(round(jaccard, 4) AS DOUBLE) AS jaccard_r, jaccard >= 0.5 AS is_dup
         |FROM verified ORDER BY doc_a, doc_b""".stripMargin
 
-  /** q34 — dedup cluster resolution: min-id connected components over the
-    * verified pairs (iterative label propagation in Spark vs a recursive
-    * transitive-closure CTE in DuckDB), keeper = smallest doc_id.
+  /** Min-label connected components over an undirected edge table
+    * (`edgesBoth` must carry both directions as (node, nbr)). Each
+    * iteration does a neighbor-min propagation (one shuffle-by-key agg)
+    * FOLLOWED by one pointer-jumping step (label := label of label — path
+    * halving), so convergence is O(log diameter) instead of O(diameter):
+    * a chain of 64 near-dups resolves in ~6 iterations, not 64
+    * (TextDedupSpec pins the bound). Convergence test: labels only ever
+    * decrease, so the label SUM strictly decreases until the fixpoint —
+    * one null-safe scalar aggregate per iteration instead of a comparison
+    * join. Lineage is cut with an eager localCheckpoint every 8 iterations
+    * (same pattern as IterativeRepair) so plan depth stays bounded.
+    * Returns (labels (node, label), iterations, release) — `release` drops
+    * the final label table's cached blocks (the data stays recomputable
+    * through RDD lineage).
     */
-  def q34DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    implicit val s: SparkSession = spark
-    val dup = verifiedPairs(t(dir, "documents")).filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-    val edgesBoth = dup
-      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-      .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-      .persist()
-    var labels = edgesBoth.select(col("node")).distinct().withColumn("label", col("node")).persist()
-    // min-label propagation: labels only ever decrease, so the label SUM
-    // strictly decreases until the fixpoint — an exact convergence test for
-    // one aggregate per iteration instead of a join
-    var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
+  private[graft] def connectedComponents(
+      spark: SparkSession,
+      edgesBoth: DataFrame
+  ): (DataFrame, Int, () => Unit) = {
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("label"))).first().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // Rebase a label table onto a flat LogicalRDD backed by a persisted
+    // row RDD. This cuts the logical plan EVERY iteration — the pointer
+    // jump self-joins the previous iteration's output, so without a cut the
+    // plan tree doubles per iteration and the per-action explain rendering
+    // alone goes exponential. Unlike localCheckpoint, the returned RDD
+    // handle makes release deterministic (no cache outlives the query).
+    def rebase(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = rebase(
+      edgesBoth.select(col("node")).distinct().withColumn("label", col("node"))
+    )
+    var prevSum = labelSum(labels)
+    var iter = 0
     var converged = false
     while (!converged) {
       val prop = edgesBoth
@@ -479,18 +561,59 @@ object TextQueries {
         .union(labels)
         .groupBy("node")
         .agg(min(col("label")).as("label"))
-        .persist()
-      val s = prop.agg(sum(col("label"))).first().getLong(0)
-      labels.unpersist()
-      labels = prop
+      val (propDF, propRdd) = rebase(prop)
+      // pointer jump (path halving): every label value is itself a node
+      // (labels start as node ids and min() preserves membership), so the
+      // lookup join is total; label(label(x)) ≤ label(x) by monotonicity
+      val jump = propDF
+        .as("a")
+        .join(propDF.as("b"), col("a.label") === col("b.node"))
+        .select(col("a.node").as("node"), least(col("a.label"), col("b.label")).as("label"))
+      val (jumpDF, jumpRdd) = rebase(jump)
+      val s = labelSum(jumpDF)
+      propRdd.unpersist()
+      labelsRdd.unpersist()
+      labels = jumpDF
+      labelsRdd = jumpRdd
+      iter += 1
       if (s == prevSum) converged = true else prevSum = s
     }
+    val finalRdd = labelsRdd
+    (labels, iter, () => { finalRdd.unpersist(); () })
+  }
+
+  /** q34 — dedup cluster resolution: min-id connected components over the
+    * verified pairs (pointer-jumping label propagation in Spark vs a
+    * recursive transitive-closure CTE in DuckDB), keeper = smallest doc_id.
+    * The final cluster list (the query's output) is collected and
+    * re-created as a local relation when small, so every cached
+    * intermediate can be released before returning — no cached RDDs
+    * outlive the query; above the gate the distributed plan is returned
+    * (caches released, AQE exchange reuse covers the recompute).
+    */
+  def q34DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val dup = verifiedPairs(t(dir, "documents")).filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    val edgesBoth = dup
+      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+      .persist()
+    val (labels, _, release) = connectedComponents(spark, edgesBoth)
     val out = labels
       .groupBy(col("label").as("keeper"))
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
-      .orderBy("keeper")
-    edgesBoth.unpersist()
-    out
+    val nLabeled = labels.count()
+    if (nLabeled <= 2000000L) {
+      val rows = out.as[(Long, Long, Long)].collect().sortBy(_._1)
+      release()
+      edgesBoth.unpersist()
+      spark.createDataset(rows.toIndexedSeq).toDF("keeper", "n_members", "max_member")
+    } else {
+      release()
+      edgesBoth.unpersist()
+      out.orderBy("keeper")
+    }
   }
   val q34Sql: String =
     shingleSqlPrefix +
