@@ -66,11 +66,21 @@ class ParquetTableIO(spark: SparkSession, val root: String) extends TableIO {
   * (links ⋈ nodes on url), and walk-store aggregations by start run WITHOUT
   * an exchange on the bucketed key (asserted by BucketedIOSpec).
   *
-  * Bucket metadata lives in the session catalog; across JVMs a metastore —
-  * or, at production scale, Iceberg `bucket(B, key)` partition transforms
-  * with storage-partitioned joins — carries the same information. Delta-log
-  * tables and markers stay plain parquet (they are O(changes) and always
-  * broadcast-joined).
+  * Bucket metadata SURVIVES the JVM: each write drops a
+  * `_bucket_spec.properties` beside the parquet (bucket/sort columns,
+  * bucket count, schema DDL), and `read` in a session whose catalog lacks
+  * the table re-registers it with `CREATE TABLE … CLUSTERED BY … LOCATION`
+  * over the existing bucketed files — so a resume in a fresh JVM keeps the
+  * shuffle-free plans instead of silently falling back to a plain parquet
+  * scan (BucketedIOSpec's dropped-catalog case). At production scale the
+  * same role is played by a metastore or Iceberg `bucket(B, key)` partition
+  * transforms with storage-partitioned joins. Delta-log tables and markers
+  * stay plain parquet (they are O(changes) and always broadcast-joined).
+  *
+  * Catalog names are keyed by an md5 digest of the state-root path —
+  * collision-resistant, unlike String.hashCode (two state dirs colliding
+  * there would silently cross-wire reads, and abs(Int.MinValue) is
+  * negative).
   */
 class BucketedTableIO(spark: SparkSession, root: String, buckets: Int = 32)
     extends ParquetTableIO(spark, root) {
@@ -85,8 +95,52 @@ class BucketedTableIO(spark: SparkSession, root: String, buckets: Int = 32)
     "visits" -> (("node", "node"))
   )
 
+  private val rootDigest: String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(root.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+      .take(16)
+
   private def tableName(round: Long, name: String): String =
-    s"graft_${math.abs(root.hashCode)}_r${round}_$name"
+    s"graft_${rootDigest}_r${round}_$name"
+
+  private def specPath(round: Long, name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"${roundDir(round)}/$name/_bucket_spec.properties")
+
+  private def writeSpec(round: Long, name: String, bucketCol: String, sortCol: String, schemaDdl: String): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("bucketCol", bucketCol)
+    props.setProperty("sortCol", sortCol)
+    props.setProperty("buckets", buckets.toString)
+    props.setProperty("schemaDdl", schemaDdl)
+    val out = fs.create(specPath(round, name), true)
+    try props.store(out, "graft bucketed-table spec") finally out.close()
+  }
+
+  /** Re-create the catalog entry from the on-disk spec (fresh-JVM resume).
+    * The CREATE TABLE points at the existing bucketed files; Spark derives
+    * each file's bucket id from its `_NNNNN` name suffix, so the re-created
+    * table plans exactly like the original saveAsTable one.
+    */
+  private def reRegister(round: Long, name: String): Boolean = {
+    val p = specPath(round, name)
+    if (!fs.exists(p)) return false
+    val props = new java.util.Properties()
+    val in = fs.open(p)
+    try props.load(in) finally in.close()
+    val tbl = tableName(round, name)
+    spark.sql(
+      s"""CREATE TABLE $tbl (${props.getProperty("schemaDdl")})
+         |USING parquet
+         |CLUSTERED BY (${props.getProperty("bucketCol")})
+         |SORTED BY (${props.getProperty("sortCol")})
+         |INTO ${props.getProperty("buckets")} BUCKETS
+         |LOCATION '${roundDir(round)}/$name'""".stripMargin
+    )
+    true
+  }
 
   override def write(round: Long, name: String, df: DataFrame): Unit = spec.get(name) match {
     case Some((bucketCol, sortCol)) =>
@@ -99,12 +153,15 @@ class BucketedTableIO(spark: SparkSession, root: String, buckets: Int = 32)
         .sortBy(sortCol)
         .format("parquet")
         .saveAsTable(tbl)
+      writeSpec(round, name, bucketCol, sortCol, df.schema.toDDL)
     case None => super.write(round, name, df)
   }
 
   override def read(round: Long, name: String): DataFrame = {
+    if (!spec.contains(name)) return super.read(round, name)
     val tbl = tableName(round, name)
-    if (spec.contains(name) && spark.catalog.tableExists(tbl)) spark.table(tbl)
+    if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+    else if (reRegister(round, name)) spark.table(tbl)
     else super.read(round, name)
   }
 }

@@ -78,6 +78,38 @@ class BucketedIOSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket metadata survives the JVM: dropped catalog re-registers from the on-disk spec") {
+    import spark.implicits._
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = Files.createTempDirectory("bucketed-resume").toString
+      val io = new BucketedTableIO(spark, dir, buckets = 8)
+      val urls = (0 until 1000).map(i => s"https://h${i % 7}.example/p$i")
+      io.write(0L, "enqueued", urls.toDF("url"))
+      io.write(0L, "fetched", urls.filter(_.hashCode % 3 == 0).toDF("url"))
+      io.commitRound(0L)
+
+      // simulate a fresh JVM: the in-memory catalog forgets every table
+      // (external tables, so the bucketed files stay on disk)
+      spark.catalog.listTables().collect().foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+
+      val io2 = new BucketedTableIO(spark, dir, buckets = 8)
+      val pending = io2.read(0L, "enqueued").join(io2.read(0L, "fetched"), Seq("url"), "left_anti")
+      val expected = urls.toSet -- urls.filter(_.hashCode % 3 == 0).toSet
+      assert(pending.collect().map(_.getString(0)).toSet === expected)
+      assert(
+        exchanges(pending) === 0,
+        "re-registered bucketed tables must plan the seen anti-join shuffle-free in a fresh catalog"
+      )
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("a crawl through BucketedTableIO is identical to ParquetTableIO") {
     import spark.implicits._
     val cfg = PagesGen.Tiny
