@@ -81,7 +81,10 @@ object CrawlMain {
     // GRAFT_BROADCAST_MAX_EDGES=0 forces the join-based iterative walker
     // (the 10^10-frontier generation path) instead of broadcast adjacency.
     val broadcastMax = sys.env.getOrElse("GRAFT_BROADCAST_MAX_EDGES", "10000000").toLong
-    val driver = new RoundDriver(spark, io, params, broadcastMax)
+    // GRAFT_MAX_DRIVER_BLOOM_URLS=0 forces the distributed sharded
+    // seen-bloom (the 10^10-url path) from round 1.
+    val maxDriverBloom = sys.env.getOrElse("GRAFT_MAX_DRIVER_BLOOM_URLS", "50000000").toLong
+    val driver = new RoundDriver(spark, io, params, broadcastMax, maxDriverBloomUrls = maxDriverBloom)
     val resumedFrom = io.lastCompleteRound()
     if (resumedFrom < 0) {
       driver.init(PagesGen.seedUrls(cfg, 3))

@@ -58,30 +58,61 @@ object SchedulerBench {
     // per-batch inside the timed loop — the full bloom-prefiltered
     // scheduling path the engine runs. Holds xxhash64(url) longs; sized to
     // the seen set (initial + everything this run will schedule), like the
-    // engine — never to the frontier.
+    // engine — never to the frontier. GRAFT_SCHED_SHARDED=1 runs the
+    // distributed sharded-bloom path instead (the 10^10-url shape: zero
+    // driver bloom bytes); fingerprints must match the driver-bloom legs.
+    val sharded = sys.env.get("GRAFT_SCHED_SHARDED").contains("1")
+    val numShards = graft.frontier.BloomShards.DefaultShards
     val seenCapacity = math.max((n / 10 + (iters + 1).toLong * batch) * 2, 100000L)
-    val bloom = fetched.select(xxhash64($"url").as("h")).stat.bloomFilter("h", seenCapacity, 0.01)
+    var bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+    var shards: Option[org.apache.spark.sql.Dataset[graft.frontier.BloomShard]] = None
+    if (sharded) {
+      shards = Some(
+        graft.frontier.BloomShards
+          .build(spark, fetched, numShards, seenCapacity / numShards)
+          .localCheckpoint(true)
+      )
+    } else {
+      bloom = Some(fetched.select(xxhash64($"url").as("h")).stat.bloomFilter("h", seenCapacity, 0.01))
+    }
+    def scheduleOnce(fetchedNow: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.frontier.Politeness
+        .schedule(
+          nodes,
+          visits,
+          totalVisits,
+          enqueued,
+          fetchedNow,
+          batch,
+          hostBudget,
+          bloom,
+          seenShards = shards.map(s => (s, numShards))
+        )
+        .select($"url")
+        .localCheckpoint(true)
+    def noteSeen(rows: Array[org.apache.spark.sql.Row], b: org.apache.spark.sql.DataFrame): Unit =
+      if (sharded)
+        shards = Some(
+          graft.frontier.BloomShards
+            .merge(spark, shards.get, b, numShards, seenCapacity / numShards)
+            .localCheckpoint(true)
+        )
+      else rows.foreach(r => bloom.get.putLong(Rng.sparkXxhash64String(r.getString(0))))
 
     // warm-up iteration (excluded)
-    val warm = graft.frontier.Politeness
-      .schedule(nodes, visits, totalVisits, enqueued, fetched, batch, hostBudget, Some(bloom))
-      .select($"url")
-      .localCheckpoint(true)
+    val warm = scheduleOnce(fetched)
     fetched = fetched.union(warm).localCheckpoint(true)
-    warm.collect().foreach(r => bloom.putLong(Rng.sparkXxhash64String(r.getString(0))))
+    noteSeen(warm.collect(), warm)
 
     val batches = Vector.newBuilder[org.apache.spark.sql.DataFrame]
     val t1 = System.nanoTime()
     var i = 0
     var scheduled = 0L
     while (i < iters) {
-      val b = graft.frontier.Politeness
-        .schedule(nodes, visits, totalVisits, enqueued, fetched, batch, hostBudget, Some(bloom))
-        .select($"url")
-        .localCheckpoint(true)
+      val b = scheduleOnce(fetched)
       val rows = b.collect()
       scheduled += rows.length
-      rows.foreach(r => bloom.putLong(Rng.sparkXxhash64String(r.getString(0)))) // incremental seen-bloom upkeep
+      noteSeen(rows, b) // incremental seen-set upkeep
       batches += b
       fetched = fetched.union(b).localCheckpoint(true)
       i += 1
@@ -92,7 +123,7 @@ object SchedulerBench {
       s"$j:${b.orderBy($"url").first().getString(0)}:${b.count()}"
     }
     println(
-      s"""{"leg":{"cores":$cores,"frontier":$n,"batch":$batch,"iters":$iters,""" +
+      s"""{"leg":{"cores":$cores,"frontier":$n,"batch":$batch,"iters":$iters,"seenMode":"${if (sharded) "sharded" else "driver"}",""" +
         s""""urlsScheduled":$scheduled,"wallSec":$wallSec,"prepSec":$prepSec,""" +
         s""""urlsPerSec":${scheduled / wallSec},"fingerprint":"${fps.mkString("|")}"}}"""
     )

@@ -28,13 +28,23 @@ object Politeness {
     * global rank-ordered batch cut. Used verbatim by the round driver and
     * by SchedulerBench.
     *
-    * `seenBloom`: a bloom filter over the fetched set (north_star's
-    * "distributed bloom/cuckoo URL-seen set" — the reference's LRU seen
-    * cache, /root/reference/pkg/pipe/firehose/firehose.go:20,61-64).
+    * `seenBloom`: a DRIVER-RESIDENT bloom filter over the fetched set
+    * (north_star's "distributed bloom/cuckoo URL-seen set" — the
+    * reference's LRU seen cache,
+    * /root/reference/pkg/pipe/firehose/firehose.go:20,61-64).
     * Bloom-negative urls are DEFINITELY unseen and skip the exact anti-join
     * entirely; only bloom-positive urls (seen + false positives) take the
     * exact path — the result set is identical, but the shuffled anti-join
-    * side shrinks from |enqueued| to ~|fetched|·(1+fpp).
+    * side shrinks from |enqueued| to ~|fetched|·(1+fpp). This path is for
+    * seen sets small enough to broadcast (RoundDriver gates it at
+    * maxDriverBloomUrls, keeping driver bloom memory bounded like the
+    * reference's LRU).
+    *
+    * `seenShards`: the DISTRIBUTED sharded bloom (BloomShards) + its shard
+    * count — the 10^10-url path: the filter bits live as a table on the
+    * executors (zero driver bytes), probed by co-partitioned zip. Takes
+    * precedence over `seenBloom`. Results are identical on every path
+    * (bloom positives always re-check exactly).
     *
     * `robots`: (host, prefix) disallow rules; a pending url whose path
     * starts with a disallowed prefix for its host is never scheduled.
@@ -51,10 +61,18 @@ object Politeness {
       batch: Int,
       hostBudget: Int,
       seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
-      robots: Option[DataFrame] = None
+      robots: Option[DataFrame] = None,
+      seenShards: Option[(org.apache.spark.sql.Dataset[BloomShard], Int)] = None
   ): DataFrame = {
-    val pending = seenBloom match {
-      case Some(bf) =>
+    val pending = (seenShards, seenBloom) match {
+      case (Some((shards, numShards)), _) =>
+        // distributed sharded probe: one shuffle of enqueued by url-hash
+        // shard, filter bits never leave the executors
+        val probed = BloomShards.probe(enqueued.sparkSession, enqueued, shards, numShards)
+        val definitelyNew = probed.filter(!col("might")).select("url")
+        val maybeSeen = probed.filter(col("might")).select("url").join(fetched, Seq("url"), "left_anti")
+        definitelyNew.union(maybeSeen)
+      case (None, Some(bf)) =>
         // The filter holds xxhash64(url) longs (put via
         // Rng.sparkXxhash64String); hashing stays codegen'd on the column
         // side and only the final bit-probe crosses into a long→boolean
@@ -68,7 +86,7 @@ object Politeness {
         val definitelyNew = enqueued.filter(!mightContain)
         val maybeSeen = enqueued.filter(mightContain).join(fetched, Seq("url"), "left_anti")
         definitelyNew.union(maybeSeen)
-      case None => enqueued.join(fetched, Seq("url"), "left_anti")
+      case (None, None) => enqueued.join(fetched, Seq("url"), "left_anti")
     }
     val withHost = pending.join(nodes, Seq("url"))
     val gated = robots match {

@@ -115,7 +115,19 @@ class RoundDriver(
     /** robots.txt disallow rules (host, path-prefix); urls matching a rule
       * for their host are never scheduled (north_rule robots gate).
       */
-    robots: Option[DataFrame] = None
+    robots: Option[DataFrame] = None,
+    /** Above this many seen urls the driver-resident bloom (fast broadcast
+      * probe, ~1.2 MB per 10^6 urls at fpp 0.01) is replaced by the
+      * DISTRIBUTED sharded bloom table (graft.frontier.BloomShards) — zero
+      * driver bloom bytes, probe via co-partitioned zip. The default gate
+      * caps driver bloom memory at ~60 MB (5×10^7 urls) — bounded like the
+      * reference's LRU seen cache; at a 10^10-url crawl the sharded table
+      * carries the ~12 GB of bits on the executors. 0 forces the sharded
+      * path from round 1 (the equivalence test uses this). Results are
+      * identical on both paths.
+      */
+    maxDriverBloomUrls: Long = 50000000L,
+    bloomNumShards: Int = graft.frontier.BloomShards.DefaultShards
 ) {
   import spark.implicits._
   import CrawlEngine._
@@ -149,7 +161,14 @@ class RoundDriver(
       var totalEdges: Long,
       var fetchedCount: Long,
       var enqueuedCount: Long,
-      var seenBloom: org.apache.spark.util.sketch.BloomFilter
+      /** driver-resident bloom (below the maxDriverBloomUrls gate) … */
+      var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      /** … or the distributed sharded bloom table (above it). */
+      var seenShards: Option[Dataset[graft.frontier.BloomShard]],
+      /** per-shard capacity the current shards were built with; the table
+        * is rebuilt (doubled) from `fetched` when the seen set outgrows it.
+        */
+      var bloomShardCapacity: Long
   )
 
   private def paramsDF: DataFrame =
@@ -279,16 +298,29 @@ class RoundDriver(
     val fetchedCount = fetchedC.count()
     val enqueuedCount = enqueuedC.count()
     // distributed one-pass bloom rebuild over the seen set (resume only;
-    // rounds maintain it incrementally from the batch). The filter holds
-    // xxhash64(url) longs so the schedule can probe it with the native
-    // codegen'd might_contain expression.
-    val bloom =
-      if (fetchedCount == 0) org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)
+    // rounds maintain it incrementally from the batch). Below the gate: a
+    // driver-resident filter of xxhash64(url) longs (broadcast probe).
+    // Above it: the sharded bloom table — bits stay on the executors.
+    val (bloom, shards, shardCap) =
+      if (maxDriverBloomUrls == 0 || fetchedCount * 2 > maxDriverBloomUrls) {
+        val cap = math.max(fetchedCount * 2 / bloomNumShards, 100000L)
+        val sh = graft.frontier.BloomShards
+          .build(spark, fetchedC, bloomNumShards, cap)
+          .localCheckpoint(true)
+        (None, Some(sh), cap)
+      } else if (fetchedCount == 0)
+        (Some(org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)), None, 0L)
       else
-        fetchedC
-          .select(xxhash64($"url").as("h"))
-          .stat
-          .bloomFilter("h", math.max(fetchedCount * 2, 100000L), 0.01)
+        (
+          Some(
+            fetchedC
+              .select(xxhash64($"url").as("h"))
+              .stat
+              .bloomFilter("h", math.max(fetchedCount * 2, 100000L), 0.01)
+          ),
+          None,
+          0L
+        )
     State(
       nodesC,
       edgesC,
@@ -302,7 +334,9 @@ class RoundDriver(
       totalEdges,
       fetchedCount,
       enqueuedCount,
-      bloom
+      bloom,
+      shards,
+      shardCap
     )
   }
 
@@ -369,8 +403,9 @@ class RoundDriver(
           st.fetched,
           params.batch,
           params.hostBudget,
-          seenBloom = Some(st.seenBloom),
-          robots = robots
+          seenBloom = st.seenBloom,
+          robots = robots,
+          seenShards = st.seenShards.map(sh => (sh, bloomNumShards))
         )
         .collect()
     }
@@ -763,13 +798,41 @@ class RoundDriver(
     oldWalks.unpersist()
     st.visits = st.visits.localCheckpoint(true)
     st.fetchedCount += batchUrls.size
-    batchUrls.foreach(u => st.seenBloom.putLong(Rng.sparkXxhash64String(u))) // incremental seen-bloom upkeep
     // small tables: per-round localCheckpoint keeps their plans shallow
     // (status updates add two joins per round — Catalyst replanning of deep
     // chains costs more than materializing these small tables)
     st.nodes = st.nodes.localCheckpoint(true)
     st.edges = st.edges.localCheckpoint(true)
     st.fetched = st.fetched.union(batchUrls.toDF("url")).localCheckpoint(true)
+    // incremental seen-bloom upkeep, size-gated: driver filter while small,
+    // the distributed sharded table beyond maxDriverBloomUrls (rebuilt
+    // doubled from the fetched table when the seen set outgrows it)
+    st.seenBloom match {
+      case Some(bf) if st.fetchedCount * 2 <= maxDriverBloomUrls =>
+        batchUrls.foreach(u => bf.putLong(Rng.sparkXxhash64String(u)))
+      case Some(_) => // seen set crossed the gate: move the bits off the driver
+        val cap = math.max(st.fetchedCount * 2 / bloomNumShards, 100000L)
+        st.seenShards = Some(
+          graft.frontier.BloomShards.build(spark, st.fetched, bloomNumShards, cap).localCheckpoint(true)
+        )
+        st.bloomShardCapacity = cap
+        st.seenBloom = None
+      case None =>
+        val overflow = st.fetchedCount > st.bloomShardCapacity * bloomNumShards
+        if (overflow) {
+          val cap = math.max(st.fetchedCount * 2 / bloomNumShards, 100000L)
+          st.seenShards = Some(
+            graft.frontier.BloomShards.build(spark, st.fetched, bloomNumShards, cap).localCheckpoint(true)
+          )
+          st.bloomShardCapacity = cap
+        } else {
+          st.seenShards = Some(
+            graft.frontier.BloomShards
+              .merge(spark, st.seenShards.get, batchUrls.toDF("url"), bloomNumShards, st.bloomShardCapacity)
+              .localCheckpoint(true)
+          )
+        }
+    }
     st.enqueued = st.enqueued.localCheckpoint(true)
     st.leaks = st.leaks.localCheckpoint(true)
     if (promotedCount > 0) st.enqueuedCount = st.enqueued.count()
