@@ -40,8 +40,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Engine-native ops (q29-q32) are omitted →
-    * rows-only check.
+    * rows-only check; q39 (the α=1 deterministic walk corner) carries a
+    * full oracle.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TextQueries.oracles
+    RelationalQueries.oracles ++ TextQueries.oracles ++ EngineQueries.oracles
 }

@@ -93,7 +93,7 @@ object Politeness {
       case Some(rules) =>
         val r = broadcast(rules.select(col("host").as("rhost"), col("prefix").as("rprefix")))
         withHost
-          .withColumn("__path", regexp_replace(col("url"), "^https?://[^/]*", ""))
+          .withColumn("__path", pathOf(col("url")))
           .join(r, withHost("host") === col("rhost") && col("__path").startsWith(col("rprefix")), "left_anti")
           .drop("__path")
       case None => withHost
@@ -111,6 +111,17 @@ object Politeness {
       .limit(batch)
       .select(col("url"), col("id"), col("status"))
   }
+
+  /** The regex both the engine and the sequential spec use to derive a
+    * url's path for the robots prefix gate: strip an optional
+    * scheme-shaped prefix (any RFC-3986 scheme, not just http(s)) and the
+    * authority up to the first '/'. Shared so the two can never diverge
+    * on non-http(s) or scheme-less urls (ADVICE r2).
+    */
+  val PathPrefixRegex = "^([a-zA-Z][a-zA-Z0-9+.-]*://)?[^/]*"
+
+  /** Column form of the path derivation. */
+  def pathOf(url: Column): Column = regexp_replace(url, PathPrefixRegex, "")
 
   /** Rows whose exact per-host rank (by `order`) is ≤ k. `unique` must be a
     * deterministic tiebreaker column making the order total (the url).

@@ -118,10 +118,58 @@ object EngineQueries {
   def q32MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.featureTable(spark, dir)
 
+  /** q39 — α=1 DETERMINISTIC walk enumeration: the one corner of the
+    * seeded walk machinery that ANSI SQL can express, giving the walk
+    * family a cross-engine VALUE-LEVEL oracle (the reference pins its
+    * walker the same way, /root/reference/pkg/walks/walks_test.go:14-55).
+    * With α=1 the continue draw always passes and on a FUNCTIONAL graph
+    * (every node exactly one successor, dst = (node·31+7) mod N + 1 over
+    * the customer ids) the next-hop draw picks index 0 of a 1-element
+    * list — so the walk is exactly start, f(start), f²(start), … stopping
+    * at the first repeat (cycle, not appended) or maxWalkSteps=8. The
+    * Spark side runs the REAL distributed join-per-hop walker
+    * (IterativeWalker — same code as the engine's 10^10-frontier path);
+    * DuckDB replays it as a recursive CTE with a seen-list.
+    */
+  def q39WalkAlphaOne(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val n = t(dir, "customer").count()
+    val nodes = t(dir, "customer").select(col("c_custkey").cast("long").as("node"))
+    val edges = nodes.select(col("node").as("src"), ((col("node") * 31 + 7) % n + 1).as("dst")).as[(Long, Long)]
+    val p = CrawlParams(alpha = 1.0, walksPerNode = 1, maxWalkSteps = 8)
+    graft.walks.IterativeWalker
+      .generate(spark, nodes.as[Long], graft.walks.IterativeWalker.adjacencyTable(spark, edges), 0L, 15, p)
+      .flatMap(w => w.path.zipWithIndex.map { case (node, pos) => (w.start, pos, node) })
+      .toDF("start", "pos", "node")
+      .orderBy("start", "pos")
+  }
+  val q39Sql: String =
+    """WITH RECURSIVE
+      |nodes AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+      |params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+      |edges AS (SELECT node AS src, (node * 31 + 7) % (SELECT n FROM params) + 1 AS dst FROM nodes),
+      |walk(start, pos, node, seen) AS (
+      |  SELECT node, 0, node, [node] FROM nodes
+      |  UNION ALL
+      |  SELECT w.start, w.pos + 1, e.dst, list_append(w.seen, e.dst)
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.pos < 8 AND NOT list_contains(w.seen, e.dst)
+      |)
+      |SELECT start, pos, node FROM walk ORDER BY start, pos""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_walk_rank" -> q29WalkRank _,
     "q30_bloom_seen" -> q30BloomSeen _,
     "q31_approx_distinct" -> q31ApproxDistinct _,
-    "q32_media_features" -> q32MediaFeatures _
+    "q32_media_features" -> q32MediaFeatures _,
+    "q39_walk_alpha1" -> q39WalkAlphaOne _
+  )
+
+  /** q29-q32 stay rows-only (seeded RNG / sketches); q39 is the
+    * SQL-expressible deterministic corner and carries a full oracle.
+    */
+  val oracles: Map[String, String] = Map(
+    "q39_walk_alpha1" -> q39Sql
   )
 }

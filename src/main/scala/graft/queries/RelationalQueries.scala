@@ -490,6 +490,62 @@ object RelationalQueries {
       |FROM users CROSS JOIN days LEFT JOIN daily ON user_id = u AND daily.day = days.day
       |ORDER BY user_id, day""".stripMargin
 
+  /** q40 — the engine's ACTUAL robots gate over a (host, prefix) rules
+    * table against frontier-shaped urls (q35 oracles the prefix-gate shape
+    * over events; this one runs the real url-path derivation —
+    * Politeness.pathOf, the exact column expression Politeness.schedule
+    * uses — so the regexp_replace + startsWith semantics are cross-engine
+    * pinned, including non-http schemes and scheme-less urls). URLs are
+    * synthesized deterministically from orders; every 7th gets an ftp
+    * scheme, every 7th+1 none at all.
+    */
+  def q40RobotsGate(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val scheme = when(col("o_orderkey") % 7 === 0, lit("ftp://"))
+      .when(col("o_orderkey") % 7 === 1, lit(""))
+      .otherwise(lit("https://"))
+    val host = concat(lit("h"), (col("o_custkey") % 20).cast("string"), lit(".example"))
+    val urls = t(dir, "orders")
+      .select(
+        concat(
+          scheme,
+          host,
+          lit("/p"),
+          (col("o_orderkey") % 5).cast("string"),
+          lit("/"),
+          col("o_orderkey").cast("string")
+        ).as("url"),
+        host.as("host")
+      )
+    val rules = Seq(("h3.example", "/p1"), ("h7.example", "/p"), ("h11.example", "/p2/"))
+      .toDF("host", "prefix")
+    urls
+      .withColumn("__path", graft.frontier.Politeness.pathOf(col("url")))
+      .join(
+        broadcast(rules.select(col("host").as("rhost"), col("prefix").as("rprefix"))),
+        col("host") === col("rhost") && col("__path").startsWith(col("rprefix")),
+        "left_anti"
+      )
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_allowed"), min(col("url")).as("first_url"))
+      .orderBy("host")
+  }
+  val q40Sql: String =
+    """WITH u AS (
+      |  SELECT (CASE o_orderkey % 7 WHEN 0 THEN 'ftp://' WHEN 1 THEN '' ELSE 'https://' END)
+      |           || 'h' || CAST(o_custkey % 20 AS VARCHAR) || '.example/p'
+      |           || CAST(o_orderkey % 5 AS VARCHAR) || '/' || CAST(o_orderkey AS VARCHAR) AS url,
+      |         'h' || CAST(o_custkey % 20 AS VARCHAR) || '.example' AS host
+      |  FROM orders),
+      |p AS (SELECT url, host, regexp_replace(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://)?[^/]*', '') AS path FROM u)
+      |SELECT host, count(*) AS n_allowed, min(url) AS first_url
+      |FROM p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM (VALUES ('h3.example','/p1'), ('h7.example','/p'), ('h11.example','/p2/')) r(rhost, rprefix)
+      |  WHERE r.rhost = p.host AND starts_with(p.path, r.rprefix))
+      |GROUP BY host ORDER BY host""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_newest_per_key" -> q01NewestPerKey _,
     "q02_semi_join" -> q02SemiJoin _,
@@ -510,7 +566,8 @@ object RelationalQueries {
     "q17_pagerank_iter" -> q17PagerankIter _,
     "q35_prefix_gate" -> q35PrefixGate _,
     "q36_detection_records" -> q36DetectionRecords _,
-    "q37_day_fill" -> q37DayFill _
+    "q37_day_fill" -> q37DayFill _,
+    "q40_robots_gate" -> q40RobotsGate _
   )
 
   val oracles: Map[String, String] = Map(
@@ -533,6 +590,7 @@ object RelationalQueries {
     "q17_pagerank_iter" -> q17Sql,
     "q35_prefix_gate" -> q35Sql,
     "q36_detection_records" -> q36Sql,
-    "q37_day_fill" -> q37Sql
+    "q37_day_fill" -> q37Sql,
+    "q40_robots_gate" -> q40Sql
   )
 }

@@ -71,7 +71,16 @@ object CrawlEngine {
       .withColumn("suspect_proofs", expr("transform(find_suspects(text), s -> md5(cast(s as binary)))"))
       .withColumn("has_secret", size(col("secret_proofs")) > 0)
       .withColumn("ver", row_number().over(w))
-      .select("url", "ver", "outlinks", "rejected", "has_secret", "secret_proofs", "suspect_proofs")
+      // vkey = the version-ordering key as one lexicographically sortable
+      // string (zero-padded epoch micros + md5 tiebreaker). Streaming
+      // incremental extraction persists the per-url max so out-of-order
+      // arrivals are DETECTED instead of silently corrupting the
+      // deterministic version numbering (ADVICE r2).
+      .withColumn(
+        "vkey",
+        concat(lpad(unix_micros(col("warc_ts")).cast("string"), 20, "0"), lit(":"), md5(col("html")))
+      )
+      .select("url", "ver", "outlinks", "rejected", "has_secret", "secret_proofs", "suspect_proofs", "vkey")
   }
 
   case class Trace(

@@ -91,11 +91,12 @@ object SequentialSpec {
       require(vs.length <= 14, s"${vs.length} versions for one url exceed the 14-wave RNG key budget")
     }
 
+    // path derivation shares the engine's regex verbatim (Politeness.
+    // PathPrefixRegex) so spec and engine cannot diverge on non-http(s) or
+    // scheme-less urls (ADVICE r2); both run java.util.regex semantics
     def pathOf(u: String): String = {
-      val i = u.indexOf("://")
-      val rest = if (i >= 0) u.substring(i + 3) else u
-      val j = rest.indexOf('/')
-      if (j >= 0) rest.substring(j) else ""
+      val m = graft.frontier.Politeness.PathPrefixRegex.r.findFirstIn(u).getOrElse("")
+      u.substring(m.length)
     }
     def robotsDisallowed(u: String): Boolean = {
       val h = Extract.hostOf(u)

