@@ -339,16 +339,20 @@ object RelationalQueries {
     */
   def q17PagerankIter(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    import spark.implicits._
     val n = t(dir, "customer").count()
     val nodes = t(dir, "customer").select(col("c_custkey").cast("long").as("node"))
+    // NO persist: the edges-distinct and degree subplans recur in every
+    // iteration of the lazy plan, and Spark's exchange reuse materializes
+    // each shared shuffle once per evaluation — same recompute bound as a
+    // cache, but nothing outlives the query (the r2 persist leaked across
+    // a long driver session) and count()-style consumers keep full
+    // column-pruning freedom.
     val edges = t(dir, "orders")
       .select(
         col("o_custkey").cast("long").as("src"),
         ((col("o_orderkey") * 7) % n + 1).cast("long").as("dst")
       )
       .distinct()
-      .persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to 5) {
@@ -362,19 +366,7 @@ object RelationalQueries {
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), (lit(0.15 / n) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
     }
-    val out = ranks.select(col("node"), round(col("rank") * 1000, 6).as("rank_k")).orderBy("node")
-    // one row per node: collect + local relation when small so the cached
-    // edges table can be released before returning (no cache outlives the
-    // query); above the gate, release anyway and let AQE exchange reuse
-    // cover the recompute
-    if (n <= 2000000L) {
-      val rows = out.as[(Long, Double)].collect().sortBy(_._1)
-      edges.unpersist()
-      spark.createDataset(rows.toIndexedSeq).toDF("node", "rank_k")
-    } else {
-      edges.unpersist()
-      out
-    }
+    ranks.select(col("node"), round(col("rank") * 1000, 6).as("rank_k")).orderBy("node")
   }
   val q17Sql: String =
     """WITH RECURSIVE
