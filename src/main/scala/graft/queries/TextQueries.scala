@@ -20,6 +20,22 @@ object TextQueries {
   private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Bucket-size cap for banded self-joins (LSH bands, simhash byte bands).
+    * A band bucket of n docs emits n(n−1)/2 candidate pairs ON ONE SHUFFLE
+    * KEY — a boilerplate mega-bucket (template pages, a certainty in a web
+    * corpus) would go quadratic with maximal skew. Buckets above the cap
+    * are DROPPED before pairing (the standard production guard): a bucket
+    * that large carries no near-dup signal anyway — its members are either
+    * exact dups (caught upstream by q18's hash dedup) or template
+    * boilerplate. Candidate-pair work is thereby bounded by
+    * O(cap² · buckets). Mirrored verbatim in the DuckDB oracles
+    * (HAVING count(*) BETWEEN 2 AND cap), so the capped queries stay
+    * value-level checked; TextDedupSpec pins the mega-bucket behavior.
+    * Declared FIRST in this object: the oracle SQL strings interpolate it
+    * at initialization.
+    */
+  private[graft] val LshMaxBucket = 4096
+
   /** distinct tokens per doc (whitespace tokenizer; documents are
     * single-space word soup).
     */
@@ -369,6 +385,94 @@ object TextQueries {
        |FROM sums ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
+  /** q41 — embedding-cosine near-dup pairs (the ANN-dedup shape: blocked
+    * candidate generation + exact verify, the vector analog of q33's
+    * LSH text dedup). Blocking = 4-bit sign bucket (16 blocks); within a
+    * block every pair gets the exact double-accumulated cosine; pairs at
+    * ≥ 0.35 are near-dups. The oracle mirrors the SAME blocking, so the
+    * values pin blocked-dedup semantics (recall is the blocking's
+    * documented trade — unblocked all-pairs is q26's brute-force path).
+    */
+  def q41EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bucket = (1 to 4)
+      .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
+      .reduce((a, b) => concat(a, b))
+    val e = t(dir, "embeddings").select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val dot = expr(
+      "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    val na = expr("aggregate(ea, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    val nb = expr("aggregate(eb, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .join(e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_r", round(dot / (sqrt(na) * sqrt(nb)), 4))
+      .filter(col("cos_r") >= 0.35)
+      .select("vec_a", "vec_b", "cos_r")
+      .orderBy("vec_a", "vec_b")
+  }
+  val q41Sql: String = {
+    val b = (1 to 4)
+      .map(i => s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings),
+       |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
+       |         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS x, CAST(unnest(eb) AS DOUBLE) AS y FROM cand),
+       |sums AS (SELECT vec_a, vec_b, sum(x*y) AS dot, sum(x*x) AS na, sum(y*y) AS nb FROM pairs GROUP BY vec_a, vec_b)
+       |SELECT vec_a, vec_b, CAST(round(dot / (sqrt(na) * sqrt(nb)), 4) AS DOUBLE) AS cos_r
+       |FROM sums WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** q42 — SimHash near-dup join: band the 32-bit simhash into 4 bytes;
+    * docs sharing ANY byte band are candidates (pigeonhole: Hamming ≤ 3
+    * over 4 bands ⇒ at least one band equal, so the blocking is LOSSLESS
+    * for the ≤3 threshold); verify with bit_count(xor) and report the
+    * pair-count histogram per Hamming distance. Band buckets are capped
+    * like q33's (the same mega-bucket guard, mirrored in the oracle).
+    */
+  def q42SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val sh = q25Simhash(spark, dir) // (doc_id, simhash)
+    val bands = sh.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(expr("transform(sequence(0, 3), k -> named_struct('k', k, 'bv', shiftright(simhash, 8 * k) & 255))")).as("band")
+    )
+    val w = Window.partitionBy(col("band.k"), col("band.bv"))
+    val ok = bands.withColumn("__n", count(lit(1)).over(w)).filter(col("__n").between(2, LshMaxBucket)).drop("__n")
+    val cand = ok
+      .select(col("band"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
+      .join(ok.select(col("band"), col("doc_id").as("doc_b"), col("simhash").as("sb")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb")
+      .distinct()
+    cand
+      .withColumn("hd", expr("cast(bit_count(sa ^ sb) as int)"))
+      .filter(col("hd") <= 3)
+      .groupBy("hd")
+      .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("first_a"))
+      .orderBy("hd")
+  }
+  val q42Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+      |bits AS (SELECT doc_id, h, bit FROM h, (SELECT unnest(range(0, 32)) AS bit)),
+      |votes AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |          FROM bits GROUP BY doc_id, bit),
+      |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      |       FROM votes GROUP BY doc_id),
+      |bands AS (SELECT doc_id, simhash, k, (simhash >> (8*k)) & 255 AS bv FROM sh, (SELECT unnest(range(0, 4)) AS k)),
+      |bok AS (SELECT k, bv FROM bands GROUP BY k, bv HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+      |         FROM bands a JOIN bok o ON a.k = o.k AND a.bv = o.bv
+      |         JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |ham AS (SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hd FROM cand)
+      |SELECT hd, count(*) AS n_pairs, min(doc_a) AS first_a
+      |FROM ham WHERE hd <= 3 GROUP BY hd ORDER BY hd""".stripMargin
+
   // ---------- end-to-end LSH near-dup dedup (q33/q34) ----------
   // Pipeline: 3-gram shingles → 8 md5-minhashes → 2 bands of 4 → bucket
   // self-join (shuffle by band key, never all-pairs) → candidate pairs →
@@ -389,19 +493,6 @@ object TextQueries {
           )
         ).as("tok")
       )
-
-  /** Bucket-size cap for the LSH band self-join. A band bucket of n docs
-    * emits n(n−1)/2 candidate pairs ON ONE SHUFFLE KEY — a boilerplate
-    * mega-bucket (template pages, a certainty in a web corpus) would go
-    * quadratic with maximal skew. Buckets above the cap are DROPPED before
-    * pairing (the standard production guard): a bucket that large carries
-    * no near-dup signal anyway — its members are either exact dups (caught
-    * upstream by q18's hash dedup) or template boilerplate. Candidate-pair
-    * work is thereby bounded by O(cap² · buckets). Mirrored verbatim in the
-    * DuckDB oracles (HAVING count(*) BETWEEN 2 AND cap), so q33/q34 stay
-    * value-level checked; TextDedupSpec pins the mega-bucket behavior.
-    */
-  private[graft] val LshMaxBucket = 4096
 
   /** (doc_id, band, b): each doc's LSH band-bucket keys (2 bands of 4
     * minhashes over 3-gram shingles).
@@ -640,7 +731,9 @@ object TextQueries {
     "q28_ann_bucketed" -> q28AnnBucketed _,
     "q33_lsh_dedup_pairs" -> q33LshDedupPairs _,
     "q34_dedup_clusters" -> q34DedupClusters _,
-    "q38_ann_multiprobe" -> q38AnnMultiProbe _
+    "q38_ann_multiprobe" -> q38AnnMultiProbe _,
+    "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
+    "q42_simhash_near_dup" -> q42SimhashNearDup _
   )
 
   val oracles: Map[String, String] = Map(
@@ -657,6 +750,8 @@ object TextQueries {
     "q28_ann_bucketed" -> q28Sql,
     "q33_lsh_dedup_pairs" -> q33Sql,
     "q34_dedup_clusters" -> q34Sql,
-    "q38_ann_multiprobe" -> q38Sql
+    "q38_ann_multiprobe" -> q38Sql,
+    "q41_embedding_near_dup" -> q41Sql,
+    "q42_simhash_near_dup" -> q42Sql
   )
 }
