@@ -17,21 +17,44 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String, width: Int, height: Int)
-  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long, features: Array[Float], checksum: Long)
+  case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      features: Array[Float],
+      /** raw 16-bin high-nibble byte histogram `features` normalizes —
+        * integer counts so downstream fractions can be computed in double
+        * precision (the float vector alone is lossy at the oracle's
+        * 4-decimal rounding).
+        */
+      hist: Array[Long],
+      /** md5 hex of the payload bytes — integrity pin of the byte
+        * plumbing, cross-engine comparable.
+        */
+      checksum: String
+  )
 
-  /** STUB: stands in for an image/audio decode. Deterministic pure function
-    * of the bytes so tests and oracles are stable.
+  /** STUB decode, count form: stands in for an image/audio decode.
+    * Deterministic pure function of the bytes so tests and oracles are
+    * stable — a 16-bin histogram of each byte's high nibble.
     */
-  def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](16)
+  def decodeCounts(bytes: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
     var i = 0
     while (i < bytes.length) {
-      hist((bytes(i) & 0xff) >> 4) += 1f
+      hist((bytes(i) & 0xff) >> 4) += 1L
       i += 1
     }
+    hist
+  }
+
+  /** STUB: the normalized feature-vector form of [[decodeCounts]]. */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val counts = decodeCounts(bytes)
+    val hist = new Array[Float](16)
     if (bytes.length > 0) {
       var j = 0
-      while (j < 16) { hist(j) /= bytes.length.toFloat; j += 1 }
+      while (j < 16) { hist(j) = counts(j).toFloat / bytes.length.toFloat; j += 1 }
     }
     hist
   }
@@ -56,10 +79,15 @@ object Multimodal {
   def featurize(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
-        val f = decodeStub(m.media)
-        val checksum = m.media.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
-        MediaFeatures(m.doc_id, m.media_type, m.media.length.toLong, f, checksum)
+        val counts = decodeCounts(m.media)
+        val n = m.media.length
+        val f = new Array[Float](16)
+        if (n > 0) { var j = 0; while (j < 16) { f(j) = counts(j).toFloat / n.toFloat; j += 1 } }
+        md.reset()
+        val checksum = md.digest(m.media).map("%02x".format(_)).mkString
+        MediaFeatures(m.doc_id, m.media_type, n.toLong, f, counts, checksum)
       }
     }
   }
@@ -84,17 +112,21 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Feature table with a stable scalar per doc (used by q32). */
+  /** Feature table with stable scalars per doc (used by q32). Fractions
+    * derive from the integer counts in DOUBLE precision on both engines —
+    * f2 = share of bytes with high nibble 2 (space/punctuation in text
+    * payloads), f7 = high nibble 7 (letters p-z) — so the DuckDB oracle
+    * matches bit-for-bit at 4-decimal rounding.
+    */
   def featureTable(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     featurize(documentsAsMedia(spark, dir))
       .select(
         col("doc_id"),
         col("media_type"),
         col("n_bytes"),
         col("checksum"),
-        round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
-        round(element_at(col("features"), 8).cast("double"), 4).as("f7")
+        round(element_at(col("hist"), 3).cast("double") / col("n_bytes").cast("double"), 4).as("f2"),
+        round(element_at(col("hist"), 8).cast("double") / col("n_bytes").cast("double"), 4).as("f7")
       )
       .orderBy("doc_id")
   }

@@ -113,10 +113,22 @@ object EngineQueries {
   }
 
   /** q32 — multimodal feature extraction (stubbed decode, real batching —
-    * graft.multimodal.Multimodal).
+    * graft.multimodal.Multimodal). The stub decode is a deterministic pure
+    * function of the payload bytes, so the whole plumbing carries a FULL
+    * value-level oracle: md5 checksum + high-nibble byte-histogram
+    * fractions computed from integer counts in double precision on both
+    * engines.
     */
   def q32MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.featureTable(spark, dir)
+  val q32Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS checksum,
+      |  CAST(round(CAST(strlen(text) - strlen(regexp_replace(text, '[ -/]', '', 'g')) AS DOUBLE) / strlen(text), 4) AS DOUBLE) AS f2,
+      |  CAST(round(CAST(strlen(text) - strlen(regexp_replace(text, '[p-' || chr(127) || ']', '', 'g')) AS DOUBLE) / strlen(text), 4) AS DOUBLE) AS f7
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q39 — α=1 DETERMINISTIC walk enumeration: the one corner of the
     * seeded walk machinery that ANSI SQL can express, giving the walk
@@ -166,10 +178,13 @@ object EngineQueries {
     "q39_walk_alpha1" -> q39WalkAlphaOne _
   )
 
-  /** q29-q32 stay rows-only (seeded RNG / sketches); q39 is the
-    * SQL-expressible deterministic corner and carries a full oracle.
+  /** q29-q31 stay rows-only (seeded RNG / sketches, each pinned by
+    * ScalaTest closed-form suites instead); q32 (deterministic stub
+    * decode) and q39 (the SQL-expressible deterministic walk corner)
+    * carry full oracles.
     */
   val oracles: Map[String, String] = Map(
+    "q32_media_features" -> q32Sql,
     "q39_walk_alpha1" -> q39Sql
   )
 }
