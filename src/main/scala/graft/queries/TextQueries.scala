@@ -392,6 +392,11 @@ object TextQueries {
     * ≥ 0.35 are near-dups. The oracle mirrors the SAME blocking, so the
     * values pin blocked-dedup semantics (recall is the blocking's
     * documented trade — unblocked all-pairs is q26's brute-force path).
+    * The 4-bit code (16 blocks) suits this fixture's weak similarity
+    * structure; at corpus scale the SAME pipeline widens to the 8-bit
+    * code of q27/q28 (256 blocks) or more — block count is the
+    * parallelism/recall knob, and the q33-style bucket cap applies to any
+    * block that outgrows pairing.
     */
   def q41EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
