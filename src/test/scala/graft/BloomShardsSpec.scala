@@ -80,6 +80,9 @@ class BloomShardsSpec extends AnyFunSuite {
     }
     val ioDriver = run(Files.createTempDirectory("bloom-driver").toString, maxDriverBloomUrls = 50000000L)
     val ioSharded = run(Files.createTempDirectory("bloom-sharded").toString, maxDriverBloomUrls = 0L)
+    // gate-crossing path: starts on the driver bloom, crosses to the
+    // sharded table mid-crawl (2·fetched > 20 after the first rounds)
+    val ioCrossing = run(Files.createTempDirectory("bloom-crossing").toString, maxDriverBloomUrls = 20L)
 
     def state(io: graft.round.TableIO) = {
       val last = io.lastCompleteRound()
@@ -89,6 +92,7 @@ class BloomShardsSpec extends AnyFunSuite {
       (last, nodes, walks, seen)
     }
     assert(state(ioDriver) === state(ioSharded))
+    assert(state(ioDriver) === state(ioCrossing))
     extracted.unpersist()
     ()
   }
