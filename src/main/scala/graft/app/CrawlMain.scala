@@ -71,13 +71,24 @@ object CrawlMain {
     val params = CrawlParams(batch = batch, hostBudget = hostBudget, walksPerNode = walksPerNode)
 
     val pages = PagesGen.generate(spark, cfg, partitions = cores * 4)
-    val extracted = CrawlEngine.extractPages(spark, pages.toDF).persist()
 
     // GRAFT_BUCKETED_IO=1 stores the big state tables clustered by their
     // join keys (BucketedTableIO — the Iceberg bucket-transform stand-in).
+    val bucketed = sys.env.get("GRAFT_BUCKETED_IO").contains("1")
     val io: ParquetTableIO =
-      if (sys.env.get("GRAFT_BUCKETED_IO").contains("1")) new graft.round.BucketedTableIO(spark, stateDir)
+      if (bucketed) new graft.round.BucketedTableIO(spark, stateDir)
       else new ParquetTableIO(spark, stateDir)
+    // Bucketed mode lands the one-time extraction in the url-bucketed,
+    // url-sorted fetch store (round 0) so every round's batch fetch prunes
+    // to the batch's buckets/row-groups — O(batch) fetch IO — instead of
+    // scanning a cached O(corpus) table. Plain mode keeps the in-memory
+    // cache (fine at fixture scale).
+    val extracted =
+      if (bucketed) {
+        if (io.lastCompleteRound() < 0 || !io.exists(0L, "extracted"))
+          io.write(0L, "extracted", CrawlEngine.extractPages(spark, pages.toDF))
+        io.read(0L, "extracted")
+      } else CrawlEngine.extractPages(spark, pages.toDF).persist()
     // GRAFT_BROADCAST_MAX_EDGES=0 forces the join-based iterative walker
     // (the 10^10-frontier generation path) instead of broadcast adjacency.
     val broadcastMax = sys.env.getOrElse("GRAFT_BROADCAST_MAX_EDGES", "10000000").toLong

@@ -385,25 +385,33 @@ object TextQueries {
        |FROM sums ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
-  /** q41 — embedding-cosine near-dup pairs (the ANN-dedup shape: blocked
-    * candidate generation + exact verify, the vector analog of q33's
-    * LSH text dedup). Blocking = 4-bit sign bucket (16 blocks); within a
-    * block every pair gets the exact double-accumulated cosine; pairs at
-    * ≥ 0.35 are near-dups. The oracle mirrors the SAME blocking, so the
-    * values pin blocked-dedup semantics (recall is the blocking's
-    * documented trade — unblocked all-pairs is q26's brute-force path).
-    * The 4-bit code (16 blocks) suits this fixture's weak similarity
-    * structure; at corpus scale the SAME pipeline widens to the 8-bit
-    * code of q27/q28 (256 blocks) or more — block count is the
-    * parallelism/recall knob, and the q33-style bucket cap applies to any
-    * block that outgrows pairing.
+  /** Embedding-cosine near-dup pairs, parameterized on the sign-code width:
+    * blocking = `bits`-bit sign bucket (2^bits blocks); block count is the
+    * parallelism/recall knob (4 bits suits the small fixture's weak
+    * similarity structure, 8 bits = the 256-block structure of q27/q28 at
+    * corpus scale). Every block is CAPPED at `maxBucket` members before
+    * pairing — the same mega-bucket guard as q33/q42 (a dense sign bucket
+    * is a certainty in a web corpus: near-zero embeddings all land in one
+    * code) — so candidate work is O(cap² · blocks), never O(n²/blocks).
+    * The count rides the same hash-partition-by-bucket the join needs
+    * (window over the join key: no extra shuffle).
     */
-  def q41EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def embeddingNearDup(
+      spark: SparkSession,
+      dir: String,
+      bits: Int,
+      maxBucket: Int = LshMaxBucket
+  ): DataFrame = {
     implicit val s: SparkSession = spark
-    val bucket = (1 to 4)
+    val bucket = (1 to bits)
       .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
       .reduce((a, b) => concat(a, b))
-    val e = t(dir, "embeddings").select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val w = Window.partitionBy(col("bucket"))
+    val e = t(dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxBucket))
+      .drop("__n")
     val dot = expr(
       "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
     )
@@ -417,11 +425,43 @@ object TextQueries {
       .select("vec_a", "vec_b", "cos_r")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Sign-blocked candidate pairs only (no verify) — lets TextDedupSpec pin
+    * that the cap bounds candidate count on a mega-block fixture.
+    */
+  private[graft] def embeddingCandidatePairs(docs: DataFrame, bits: Int, maxBucket: Int): DataFrame = {
+    val bucket = (1 to bits)
+      .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
+      .reduce((a, b) => concat(a, b))
+    val w = Window.partitionBy(col("bucket"))
+    val e = docs
+      .select(col("vec_id"), bucket.as("bucket"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxBucket))
+      .drop("__n")
+    e.select(col("bucket"), col("vec_id").as("vec_a"))
+      .join(e.select(col("bucket"), col("vec_id").as("vec_b")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+  }
+
+  /** q41 — embedding-cosine near-dup pairs (the ANN-dedup shape: blocked
+    * candidate generation + exact verify, the vector analog of q33's LSH
+    * text dedup). 4-bit sign blocking, block cap, exact double-accumulated
+    * cosine, near-dup at ≥ 0.35. The oracle mirrors the SAME blocking AND
+    * cap, so the values pin capped-blocked-dedup semantics (recall is the
+    * blocking's documented trade — unblocked all-pairs is q26's
+    * brute-force path).
+    */
+  def q41EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDup(spark, dir, bits = 4)
   val q41Sql: String = {
     val b = (1 to 4)
       .map(i => s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
-    s"""WITH e AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings),
+    s"""WITH e0 AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings),
+       |bok AS (SELECT bucket FROM e0 GROUP BY bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+       |e AS (SELECT e0.* FROM e0 JOIN bok USING (bucket)),
        |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
        |         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |pairs AS (SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS x, CAST(unnest(eb) AS DOUBLE) AS y FROM cand),

@@ -96,6 +96,17 @@ object CrawlEngine {
   case class Result(traces: Vector[Trace], finalRound: Long)
 }
 
+object RoundDriver {
+
+  /** Batches above this size skip the fetch InSet prefilter — a
+    * multi-hundred-thousand-literal predicate costs more in planning than
+    * the scan pruning saves (the broadcast join alone stays correct).
+    * Production batches (the reference fetches 100-1000 urls per interval)
+    * sit far below this.
+    */
+  val MaxFetchPrefilterUrls = 100000
+}
+
 class RoundDriver(
     spark: SparkSession,
     io: TableIO,
@@ -172,6 +183,13 @@ class RoundDriver(
       var enqueuedCount: Long,
       /** driver-resident bloom (below the maxDriverBloomUrls gate) … */
       var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      /** capacity the driver bloom was built for; it is rebuilt (doubled)
+        * from `fetched` when the seen set outgrows it — otherwise a long
+        * fresh crawl would drive fpp toward 1 and silently turn the
+        * prefilter into a no-op (correctness holds via the exact anti-join,
+        * the optimization would just vanish).
+        */
+      var bloomBuildCapacity: Long,
       /** … or the distributed sharded bloom table (above it). */
       var seenShards: Option[Dataset[graft.frontier.BloomShard]],
       /** per-shard capacity the current shards were built with; the table
@@ -310,26 +328,29 @@ class RoundDriver(
     // rounds maintain it incrementally from the batch). Below the gate: a
     // driver-resident filter of xxhash64(url) longs (broadcast probe).
     // Above it: the sharded bloom table — bits stay on the executors.
-    val (bloom, shards, shardCap) =
+    val (bloom, bloomCap, shards, shardCap) =
       if (maxDriverBloomUrls == 0 || fetchedCount * 2 > maxDriverBloomUrls) {
         val cap = math.max(fetchedCount * 2 / bloomNumShards, 100000L)
         val sh = graft.frontier.BloomShards
           .build(spark, fetchedC, bloomNumShards, cap)
           .localCheckpoint(true)
-        (None, Some(sh), cap)
+        (None, 0L, Some(sh), cap)
       } else if (fetchedCount == 0)
-        (Some(org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)), None, 0L)
-      else
+        (Some(org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)), 100000L, None, 0L)
+      else {
+        val cap = math.max(fetchedCount * 2, 100000L)
         (
           Some(
             fetchedC
               .select(xxhash64($"url").as("h"))
               .stat
-              .bloomFilter("h", math.max(fetchedCount * 2, 100000L), 0.01)
+              .bloomFilter("h", cap, 0.01)
           ),
+          cap,
           None,
           0L
         )
+      }
     State(
       nodesC,
       edgesC,
@@ -344,6 +365,7 @@ class RoundDriver(
       fetchedCount,
       enqueuedCount,
       bloom,
+      bloomCap,
       shards,
       shardCap
     )
@@ -425,13 +447,23 @@ class RoundDriver(
     val statusById: mutable.Map[Long, String] =
       mutable.Map(batchRows.map(r => r.getLong(1) -> r.getString(2)): _*)
 
-    // ---- 3. fetch versions of the batch (broadcast join, never a giant IN
-    // list). Outlinks STAY DISTRIBUTED — only per-url version/leak summary
-    // rows (O(batch)) reach the driver, like the reference's fetch batch.
+    // ---- 3. fetch versions of the batch (broadcast join + an InSet
+    // prefilter on url that is semantically a no-op — the join restricts to
+    // the same set — but REACHES THE SCAN: against the bucketed extracted
+    // store (url-bucketed, url-sorted) Spark prunes to the buckets holding
+    // batch urls and parquet skips row groups outside their url ranges, so
+    // per-round fetch IO is O(batch), not O(corpus) — the columnar analog
+    // of the reference's point-lookup fetcher
+    // (/root/reference/pkg/pipe/fetcher/fetcher.go:70-143). Outlinks STAY
+    // DISTRIBUTED — only per-url version/leak summary rows (O(batch)) reach
+    // the driver, like the reference's fetch batch.
     val batchDF = broadcast(
       spark.createDataset(batchRows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getString(2)))).toDF("url", "id", "status")
     )
-    val batchExtracted = extracted
+    val prefiltered =
+      if (batchUrls.size <= RoundDriver.MaxFetchPrefilterUrls) extracted.filter($"url".isInCollection(batchUrls))
+      else extracted
+    val batchExtracted = prefiltered
       .join(batchDF, Seq("url"))
       .select($"url", $"id", $"status", $"ver", $"outlinks", $"rejected", $"has_secret", $"secret_proofs", $"suspect_proofs")
       .persist()
@@ -617,10 +649,16 @@ class RoundDriver(
     // ---- 5. leak scan over the batch (reference setLeak, arbiter.go:137-174
     // + leak records, /root/reference/pkg/leaks/leaks.go:146-151: confirmed
     // = validated secret, suspected = pattern match failing the checksum)
-    val leakedIds: Seq[Long] =
-      verInfo.filter(_._5).map(_._2).distinct.toSeq
-    val suspectedIds: Seq[Long] =
-      verInfo.filter(v => v._6 && !v._5).map(_._2).distinct.filterNot(leakedIds.contains).toSeq
+    // one pass; LinkedHashSet keeps first-seen order (== the old
+    // distinct-preserving order) with O(1) membership
+    val leakedSet = mutable.LinkedHashSet.empty[Long]
+    val suspectedSet = mutable.LinkedHashSet.empty[Long]
+    verInfo.foreach { v =>
+      if (v._5) leakedSet += v._2
+      else if (v._6) suspectedSet += v._2
+    }
+    val leakedIds: Seq[Long] = leakedSet.toSeq
+    val suspectedIds: Seq[Long] = suspectedSet.filterNot(leakedSet.contains).toSeq
     val leakedActive = leakedIds.filter(id => statusById.getOrElse(id, "") == NodeStatus.Active)
     val leakRecordParts = mutable.ArrayBuffer.empty[DataFrame]
     if (leakedIds.nonEmpty || suspectedIds.nonEmpty) {
@@ -818,7 +856,17 @@ class RoundDriver(
     // doubled from the fetched table when the seen set outgrows it)
     st.seenBloom match {
       case Some(bf) if st.fetchedCount * 2 <= maxDriverBloomUrls =>
-        batchUrls.foreach(u => bf.putLong(Rng.sparkXxhash64String(u)))
+        if (st.fetchedCount > st.bloomBuildCapacity) {
+          // the seen set outgrew the filter's build capacity (fpp would
+          // drift toward 1, degrading the prefilter to a no-op): rebuild
+          // doubled from the fetched table, mirroring the sharded path's
+          // overflow rebuild
+          val cap = math.max(st.fetchedCount * 2, 100000L)
+          st.seenBloom = Some(
+            st.fetched.select(xxhash64($"url").as("h")).stat.bloomFilter("h", cap, 0.01)
+          )
+          st.bloomBuildCapacity = cap
+        } else batchUrls.foreach(u => bf.putLong(Rng.sparkXxhash64String(u)))
       case Some(_) => // seen set crossed the gate: move the bits off the driver
         val cap = math.max(st.fetchedCount * 2 / bloomNumShards, 100000L)
         st.seenShards = Some(

@@ -85,14 +85,21 @@ class ParquetTableIO(spark: SparkSession, val root: String) extends TableIO {
 class BucketedTableIO(spark: SparkSession, root: String, buckets: Int = 32)
     extends ParquetTableIO(spark, root) {
 
-  /** bucket column + within-bucket sort for each big state table */
+  /** bucket column + within-bucket sort for each big state table.
+    * `extracted` (url-bucketed, url-SORTED) is the fetch-lookup store: the
+    * per-round batch fetch pushes an InSet(url) into its scan, so Spark
+    * prunes to the buckets holding batch urls and parquet min/max skips
+    * row groups outside their url ranges — per-round fetch IO O(batch),
+    * not O(corpus).
+    */
   private val spec: Map[String, (String, String)] = Map(
     "fetched" -> (("url", "url")),
     "enqueued" -> (("url", "url")),
     "edges" -> (("src", "dst")),
     "walks" -> (("start", "walkId")),
     "nodes" -> (("url", "id")),
-    "visits" -> (("node", "node"))
+    "visits" -> (("node", "node")),
+    "extracted" -> (("url", "url"))
   )
 
   private val rootDigest: String =
@@ -123,6 +130,13 @@ class BucketedTableIO(spark: SparkSession, root: String, buckets: Int = 32)
     * The CREATE TABLE points at the existing bucketed files; Spark derives
     * each file's bucket id from its `_NNNNN` name suffix, so the re-created
     * table plans exactly like the original saveAsTable one.
+    *
+    * The on-disk properties are NOT trusted for SQL interpolation: bucket
+    * and sort columns must match this class's hardcoded spec, the bucket
+    * count must be a sane positive int, and the LOCATION literal is
+    * single-quote-escaped (a crafted `_bucket_spec.properties` or a state
+    * root containing `'` must not be able to break or redirect the
+    * statement).
     */
   private def reRegister(round: Long, name: String): Boolean = {
     val p = specPath(round, name)
@@ -130,14 +144,26 @@ class BucketedTableIO(spark: SparkSession, root: String, buckets: Int = 32)
     val props = new java.util.Properties()
     val in = fs.open(p)
     try props.load(in) finally in.close()
+    val (bucketCol, sortCol) = spec(name)
+    require(
+      props.getProperty("bucketCol") == bucketCol && props.getProperty("sortCol") == sortCol,
+      s"bucket spec for '$name' at $p declares (${props.getProperty("bucketCol")}, ${props.getProperty("sortCol")}); " +
+        s"this engine buckets '$name' by ($bucketCol, $sortCol) — refusing to register a mismatched table"
+    )
+    val nBuckets = props.getProperty("buckets").toInt
+    require(nBuckets > 0 && nBuckets <= (1 << 20), s"implausible bucket count $nBuckets for '$name' at $p")
+    val location = s"${roundDir(round)}/$name".replace("'", "''")
+    // round-trip through StructType: rejects DDL that isn't a plain column
+    // list and re-emits it in canonical quoted form
+    val schemaDdl = org.apache.spark.sql.types.StructType.fromDDL(props.getProperty("schemaDdl")).toDDL
     val tbl = tableName(round, name)
     spark.sql(
-      s"""CREATE TABLE $tbl (${props.getProperty("schemaDdl")})
+      s"""CREATE TABLE $tbl ($schemaDdl)
          |USING parquet
-         |CLUSTERED BY (${props.getProperty("bucketCol")})
-         |SORTED BY (${props.getProperty("sortCol")})
-         |INTO ${props.getProperty("buckets")} BUCKETS
-         |LOCATION '${roundDir(round)}/$name'""".stripMargin
+         |CLUSTERED BY ($bucketCol)
+         |SORTED BY ($sortCol)
+         |INTO $nBuckets BUCKETS
+         |LOCATION '$location'""".stripMargin
     )
     true
   }

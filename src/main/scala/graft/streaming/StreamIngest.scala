@@ -87,7 +87,12 @@ object StreamIngest {
       case None => base
       case Some(p) =>
         val offsets = p.groupBy("url").agg(max("ver").as("__prev"), max("vkey").as("__maxkey"))
-        val joined = base.join(offsets, Seq("url"), "left")
+        // eager materialization: the heavy html extraction pass runs ONCE
+        // here; both the guard collect below and the caller's write read
+        // the materialized O(batch) increment instead of re-extracting
+        // (ADVICE r3 — the guard used to evaluate extractPages twice per
+        // micro-batch)
+        val joined = base.join(offsets, Seq("url"), "left").localCheckpoint(true)
         val outOfOrder = joined
           .filter(col("__maxkey").isNotNull && col("vkey") < col("__maxkey"))
           .select("url", "vkey", "__maxkey")
@@ -160,10 +165,35 @@ object StreamIngest {
       if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
     }
 
+    /** Garbage-collect compaction debris a crash can leave behind: a
+      * markerless `compact_upto` dir (crashed between writing the dir and
+      * its marker), a superseded compact dir below the current marker
+      * (crashed before the old-dir delete), and superseded markers. Readers
+      * never see any of these (they follow the max marker) — this only
+      * stops disk usage leaking across crashes.
+      */
+    private def gcOrphans(): Unit = {
+      val cur = lastCompaction()
+      listNames().foreach {
+        case s if s.startsWith("compact_upto=") =>
+          val id = s.substring(13).toLong
+          if (id != cur) fs.delete(new org.apache.hadoop.fs.Path(s"$root/$s"), true)
+        case s if s.startsWith("_compact_") =>
+          val id = s.substring(9).toLong
+          if (id < cur) fs.delete(new org.apache.hadoop.fs.Path(s"$root/$s"), false)
+        case s if s.startsWith("batch=") =>
+          // covered by the current compaction but not deleted before a crash
+          val id = s.substring(6).toLong
+          if (id <= cur) fs.delete(new org.apache.hadoop.fs.Path(s"$root/$s"), true)
+        case _ => ()
+      }
+    }
+
     /** Compact epochs (lastCompaction, upto] into one dir once more than
       * `minBatches` increments have piled up.
       */
     def maybeCompact(upto: Long, minBatches: Int): Unit = {
+      gcOrphans()
       val prev = lastCompaction()
       val ids = batchIds().filter(i => i > prev && i <= upto)
       if (ids.size < minBatches) return

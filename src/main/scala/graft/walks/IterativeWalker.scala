@@ -66,8 +66,12 @@ object IterativeWalker {
     var iter = 0
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[Dataset[St]]
 
+    // the adjacency aggregation (edges → groupByKey → sort) is hop-invariant:
+    // materialize it ONCE for the whole drain instead of re-running the
+    // full-graph shuffle on every hop (IterativeRepair does the same)
+    val adjDF = adjacency.toDF("src", "follows").persist()
+
     while (live > 0 && iter < params.maxWalkSteps) {
-      val adjDF = adjacency.toDF("src", "follows")
       val liveDS = state.filter(_.alive)
       // settled walks accumulate; the eager localCheckpoint cuts their
       // dependence on `state` so the superseded cache can be released —
@@ -99,6 +103,9 @@ object IterativeWalker {
       state = next
       iter += 1
     }
+    // every surviving slice is checkpointed or cache-materialized by the
+    // per-iteration count, so the adjacency cache can be released here
+    adjDF.unpersist()
     doneParts += state
     doneParts
       .reduce(_ union _)

@@ -110,6 +110,73 @@ class BucketedIOSpec extends AnyFunSuite {
     }
   }
 
+  test("fetch pruning: InSet(url) on the bucketed extracted store reads O(batch) buckets, not the corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bucketed-fetch").toString
+    val buckets = 32
+    val io = new BucketedTableIO(spark, dir, buckets = buckets)
+    // extracted-shaped table: 5000 urls × 1-2 versions
+    val rows = (0 until 5000).flatMap { i =>
+      val u = s"https://h${i % 17}.example/p$i"
+      (1 to (1 + i % 2)).map(v => (u, v, Seq(s"https://h0.example/p${(i * 3) % 5000}"), false, false))
+    }
+    io.write(0L, "extracted", rows.toDF("url", "ver", "outlinks", "rejected", "has_secret"))
+    io.commitRound(0L)
+
+    val ext = io.read(0L, "extracted")
+    // a 12-url batch (above the 10-value InSet conversion threshold — the
+    // realistic shape) prefiltered exactly as RoundDriver's fetch does
+    val batch = (0 until 12).map(i => s"https://h${(i * 421) % 17}.example/p${i * 421}")
+    // task-level input metrics: records actually read off disk (the scan's
+    // numFiles metric is computed BEFORE bucket pruning, so it can't see it)
+    @volatile var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead += t.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def recordsReadBy(f: => Unit): Long = {
+      Thread.sleep(500) // drain stragglers from the previous measurement
+      recordsRead = 0L
+      f
+      Thread.sleep(1500) // listener events are async
+      recordsRead
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // under DEFAULT bucketing configs: even when the planner picks a
+      // non-bucketed read, file pruning by bucket id still applies — the
+      // fetch reads at most one bucket per batch url instead of the corpus
+      val fetch = ext.filter($"url".isInCollection(batch))
+      assert(fetch.count() === batch.map(u => rows.count(_._1 == u)).sum.toLong)
+      val prunedRecs = recordsReadBy(ext.filter($"url".isInCollection(batch)).collect())
+      val fullRecs = recordsReadBy(ext.filter($"ver" >= 1).collect()) // non-bucket-key predicate: no pruning
+      assert(fullRecs >= rows.size, s"control scan read $fullRecs records; expected the full ${rows.size}")
+      assert(
+        prunedRecs <= (fullRecs * 1.5 * batch.size / buckets).toLong,
+        s"fetch read $prunedRecs of $fullRecs records; expected ≤ ~${batch.size}/$buckets of the corpus"
+      )
+
+      // with the auto-disable heuristic off, the plan itself reports the
+      // pruned bucket count
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val fetch2 = ext.filter($"url".isInCollection(batch))
+      fetch2.count()
+      val plan = fetch2.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.nonEmpty, s"expected bucket pruning in the fetch plan, got:\n$plan")
+      val (selected, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(total === buckets)
+      assert(selected <= batch.size, s"fetch should read at most one bucket per batch url ($selected of $total)")
+      assert(selected < total, "fetch must not scan every bucket")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("a crawl through BucketedTableIO is identical to ParquetTableIO") {
     import spark.implicits._
     val cfg = PagesGen.Tiny

@@ -54,12 +54,21 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
       compactOnExit: Boolean = true,
       robots: Seq[(String, String)] = Nil,
       runParams: graft.core.CrawlParams = params,
-      iterativeRepairMinEntries: Long = 20000L
+      iterativeRepairMinEntries: Long = 20000L,
+      maxDriverBloomUrls: Long = 50000000L,
+      bucketedIO: Boolean = false
   ): CrawlEngine.Result = {
     import spark.implicits._
     val pagesDF = spark.createDataset(pageRows).toDF
-    val extracted = CrawlEngine.extractPages(spark, pagesDF).persist()
-    val io = new ParquetTableIO(spark, dir)
+    val io: ParquetTableIO =
+      if (bucketedIO) new graft.round.BucketedTableIO(spark, dir, buckets = 8) else new ParquetTableIO(spark, dir)
+    // bucketed mode routes extraction through the url-bucketed fetch store
+    // (CrawlMain's production shape); plain mode keeps the in-memory cache
+    val extracted =
+      if (bucketedIO) {
+        if (!io.exists(0L, "extracted")) io.write(0L, "extracted", CrawlEngine.extractPages(spark, pagesDF))
+        io.read(0L, "extracted")
+      } else CrawlEngine.extractPages(spark, pagesDF).persist()
     val robotsDF = if (robots.isEmpty) None else Some(spark.createDataset(robots).toDF("host", "prefix"))
     val driver =
       new RoundDriver(
@@ -69,11 +78,12 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
         broadcastMaxEdges,
         compactOnExit = compactOnExit,
         robots = robotsDF,
-        iterativeRepairMinEntries = iterativeRepairMinEntries
+        iterativeRepairMinEntries = iterativeRepairMinEntries,
+        maxDriverBloomUrls = maxDriverBloomUrls
       )
     if (io.lastCompleteRound() < 0) driver.init(seeds)
     val res = driver.run(extracted, maxRounds)
-    extracted.unpersist()
+    if (!bucketedIO) extracted.unpersist()
     res
   }
 
@@ -212,6 +222,33 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     // must be byte-identical to the spec
     val dir = Files.createTempDirectory("crawl-iter-repair").toString
     runEngine(4, dir, iterativeRepairMinEntries = 0L)
+    val (nodes, adjacency, walks, seen) = engineState(dir)
+    val pv = pageRows.map(p => SequentialSpec.PageV(p.url, p.warc_ts.getTime / 1000, p.html, p.text))
+    val spec4 = SequentialSpec.run(pv, seeds, params, 4)
+    assert(seen === spec4.seen)
+    assert(nodes === spec4.nodes.map { case (id, st) =>
+      id -> ((st.url, st.status, st.addedRound, st.promotedRound, st.demotedRound))
+    })
+    assert(adjacency === spec4.adjacency.collect { case (k, v) if v.nonEmpty => k -> v.toSeq })
+    assert(walks === spec4.walks.map { case (k, v) => k -> v.toSeq })
+  }
+
+  test("ALL scale paths at once yield the identical crawl (the 10^10 deployment configuration)") {
+    // Every scale path forced SIMULTANEOUSLY: join-per-hop walk generation
+    // (broadcastMaxEdges=0), fully distributed join-per-hop repair
+    // (iterativeRepairMinEntries=0), sharded distributed seen-bloom
+    // (maxDriverBloomUrls=0), and bucketed state + extracted fetch store
+    // (BucketedTableIO, which also exercises the InSet fetch pruning) —
+    // final state must still be byte-identical to the sequential spec.
+    val dir = Files.createTempDirectory("crawl-allpaths").toString
+    runEngine(
+      4,
+      dir,
+      broadcastMaxEdges = 0L,
+      iterativeRepairMinEntries = 0L,
+      maxDriverBloomUrls = 0L,
+      bucketedIO = true
+    )
     val (nodes, adjacency, walks, seen) = engineState(dir)
     val pv = pageRows.map(p => SequentialSpec.PageV(p.url, p.warc_ts.getTime / 1000, p.html, p.text))
     val spec4 = SequentialSpec.run(pv, seeds, params, 4)

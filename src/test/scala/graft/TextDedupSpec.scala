@@ -70,6 +70,42 @@ class TextDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped >= 300L * 299L / 2, s"uncapped=$uncapped should include the mega bucket's pairs")
   }
 
+  test("q41 block cap: a dense sign-block cannot go quadratic") {
+    val sp = spark; import sp.implicits._
+    // 8-dim embeddings; the 4-bit sign code comes from dims 1-4, dims 5-8
+    // get seed-dependent signs so the 8-bit code genuinely refines blocks
+    def vec(signs: Seq[Int], seed: Int): Array[Float] =
+      (signs ++ (signs.length until 8).map(j => if (((seed >> (j - 4)) & 1) == 1) 1 else -1)).zipWithIndex.map {
+        case (s, j) => s * (0.1f + ((seed * 31 + j * 7) % 11) * 0.013f)
+      }.toArray
+    // 200 vectors all landing in block "1111" (near-zero/template embeddings
+    // do exactly this in a real corpus) + one genuine near-dup pair in block
+    // "1010" + 40 scatter vectors in block "0000"
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 200L).map(i => (i, vec(Seq(1, 1, 1, 1), i.toInt))) ++
+        Seq((300L, vec(Seq(1, -1, 1, -1), 5)), (301L, vec(Seq(1, -1, 1, -1), 5).map(x => x * 1.001f))) ++
+        (400L until 440L).map(i => (i, vec(Seq(-1, -1, -1, -1), i.toInt)))
+    val docs = rows.toDF("vec_id", "embedding")
+    val cap = 50
+
+    val capped = TextQueries.embeddingCandidatePairs(docs, 4, cap).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.contains((300L, 301L)), "near-dup pair must survive the cap")
+    assert(!capped.exists { case (a, b) => a < 200L && b < 200L }, "no pairs from the dropped mega block")
+    assert(capped.length <= cap * cap * 16, s"candidate count ${capped.length} not bounded by cap")
+
+    // uncapped the same input goes quadratic — the cap is load-bearing
+    val uncapped = TextQueries.embeddingCandidatePairs(docs, 4, Int.MaxValue).count()
+    assert(uncapped >= 200L * 199L / 2, s"uncapped=$uncapped should include the mega block's pairs")
+
+    // the 8-bit code splits the mega block across 16 sub-blocks (the
+    // recall/parallelism knob the scale path widens to) — candidate work
+    // drops sharply while the near-dup pair (identical sign pattern)
+    // stays blocked together
+    val wide = TextQueries.embeddingCandidatePairs(docs, 8, Int.MaxValue).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(wide.length < uncapped / 4, s"8-bit blocking should cut candidates: ${wide.length} vs $uncapped")
+    assert(wide.contains((300L, 301L)), "near-dup pair must survive the wider code")
+  }
+
   test("connected components: pointer jumping resolves a 64-chain in O(log n) iterations") {
     val sp = spark; import sp.implicits._
     val n = 64L
