@@ -21,11 +21,14 @@ object CrawlMain {
 
   /** `rank` subcommand: personalized PageRank for a source node over a
     * crawl checkpoint (reference `pagerank.Personalized`). Prints the top-k
-    * visited nodes as one JSON line.
+    * visited nodes as one JSON line. Mode `splice` (default) mirrors the
+    * reference's pool-splice walk; mode `dist` runs the fully distributed
+    * many-short-reset-walks estimator (no driver-held neighborhood or
+    * pool — the mega-hub / 10^10-graph path).
     */
   private def rankMain(args: Array[String]): Unit = {
     if (args.length < 3) {
-      System.err.println("usage: CrawlMain rank <stateDir> <sourceId> [targetLength] [topK] [cores]")
+      System.err.println("usage: CrawlMain rank <stateDir> <sourceId> [targetLength] [topK] [cores] [splice|dist]")
       sys.exit(2)
     }
     val stateDir = args(1)
@@ -33,18 +36,33 @@ object CrawlMain {
     val targetLength = if (args.length > 3) args(3).toInt else 100000
     val topK = if (args.length > 4) args(4).toInt else 20
     val cores = if (args.length > 5) args(5).toInt else 8
+    val mode = if (args.length > 6) args(6) else "splice"
     val spark = Sessions.local(cores, appName = "graft-rank")
     val io = new ParquetTableIO(spark, stateDir)
     val last = io.lastCompleteRound()
     require(last >= 0, s"no completed rounds under $stateDir")
     import spark.implicits._
-    val walks = io.read(last, "walks").as[graft.core.WalkRow]
     val edges = io.read(last, "edges")
-    val freq =
-      graft.walks.Personalized.personalizedOverEdges(spark, walks, edges, source, targetLength, CrawlParams())
-    val top = freq.toSeq.sortBy { case (n, f) => (-f, n) }.take(topK)
+    val params = CrawlParams()
+    val top: Seq[(Long, Double)] = mode match {
+      case "dist" =>
+        // one segment per expected reset of the splice walk's targetLength
+        val numWalks = math.max((targetLength * (1 - params.alpha)).toInt, 1000)
+        graft.walks.Personalized
+          .personalizedDistributed(spark, edges, source, numWalks, params)
+          .orderBy(org.apache.spark.sql.functions.desc("rank"), org.apache.spark.sql.functions.col("node"))
+          .limit(topK)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(2)))
+          .toSeq
+      case _ =>
+        val walks = io.read(last, "walks").as[graft.core.WalkRow]
+        val freq =
+          graft.walks.Personalized.personalizedOverEdges(spark, walks, edges, source, targetLength, params)
+        freq.toSeq.sortBy { case (n, f) => (-f, n) }.take(topK)
+    }
     val items = top.map { case (n, f) => s"""{"node":$n,"rank":$f}""" }.mkString(",")
-    println(s"""{"event":"personalized","source":$source,"round":$last,"top":[$items]}""")
+    println(s"""{"event":"personalized","source":$source,"round":$last,"mode":"$mode","top":[$items]}""")
     spark.stop()
   }
 

@@ -91,7 +91,10 @@ object EngineQueries {
     val nCandidates = candidates.count()
     val bloom = seen.stat.bloomFilter("k", math.max(nCandidates, 1000L), 0.01)
     val bBloom = spark.sparkContext.broadcast(bloom)
-    val maybeSeen = candidates.filter(r => bBloom.value.mightContain(r.getLong(0))).count()
+    // the engine's probe pattern (frontier.Politeness): column side stays
+    // codegen'd, only the final long→boolean bit-probe crosses into a UDF
+    val probe = udf((k: Long) => bBloom.value.mightContainLong(k))
+    val maybeSeen = candidates.filter(probe(col("k"))).count()
     val exactUnseen = candidates.join(seen, Seq("k"), "left_anti").count()
     Seq((nCandidates, nCandidates - maybeSeen, exactUnseen))
       .toDF("n_candidates", "bloom_definitely_unseen", "exact_unseen")

@@ -158,6 +158,51 @@ object Personalized {
     personalizedFrequencies(adjF, poolWalks, source, targetLength, params)
   }
 
+  /** Fully distributed personalized rank — the many-short-reset-walks
+    * Monte Carlo form (SURVEY.md §2.8 U6's documented alternative to the
+    * reference's sequential splice, pagerank.go:241-293). The reference's
+    * long reset walk is a concatenation of iid segments (start at source,
+    * continue w.p. α, stop on dangling/revisit); this generates `numWalks`
+    * such segments INDEPENDENTLY with the join-per-hop IterativeWalker
+    * (counter-based RNG ⇒ deterministic in (seed, source, numWalks)) and
+    * aggregates visit frequencies distributively. Returns (node, visits,
+    * rank) with rank = visits / totalVisits — the same estimator family as
+    * [[personalizedFrequencies]] (different RNG stream, so statistically
+    * equal, not byte-equal; PersonalizedSpec pins both against closed-form
+    * ranks). Unlike the splice path it holds NO driver state: no collected
+    * neighborhood, no walk pool — the right shape when the source's
+    * neighborhood or pool exceeds driver bounds (a mega-hub on a 10^10
+    * graph).
+    */
+  def personalizedDistributed(
+      spark: SparkSession,
+      edges: org.apache.spark.sql.DataFrame,
+      source: Long,
+      numWalks: Int,
+      params: CrawlParams
+  ): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val adjDS = IterativeWalker.adjacencyTable(
+      spark,
+      edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    )
+    val p = params.copy(walksPerNode = numWalks)
+    val segs = IterativeWalker.generate(
+      spark,
+      Seq(source).toDS(),
+      adjDS,
+      round = 0L,
+      wave = graft.spec.SequentialSpec.GenWave,
+      p
+    )
+    segs
+      .select(explode(col("path")).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("visits"))
+      .withColumn("rank", col("visits").cast("double") / sum(col("visits")).over())
+      .orderBy("node")
+  }
+
   /** Distributed-adjacency entry: like [[personalized]] but against the
     * edges TABLE — follow lists resolve on demand through a
     * SubgraphWalks.Resolver (seeded with the source neighborhood + the pool

@@ -93,6 +93,38 @@ class PersonalizedSpec extends AnyFunSuite {
     )
   }
 
+  test("fully distributed personalized rank (many short reset walks) matches closed form") {
+    val spark = graft.core.Sessions.local(4, appName = "personalized-spec")
+    import spark.implicits._
+
+    // Cyclic(50): rank_i = alpha^i (1-alpha) / (1-alpha^n)
+    val n = 50
+    val cyc = (0L until n.toLong).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val got = Personalized
+      .personalizedDistributed(spark, cyc, 0L, 50000, p)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    val a = 0.85
+    val expected = Array.tabulate(n)(i => math.pow(a, i) * (1 - a) / (1 - math.pow(a, n)))
+    val d = l1(Array.tabulate(n)(i => got.getOrElse(i.toLong, 0.0)), expected)
+    assert(d <= 0.02, s"distributed cyclic50 L1=$d")
+
+    // Acyclic2 + determinism: two runs must produce identical visit counts
+    val edges2 = Seq((0L, 1L), (0L, 2L), (4L, 3L), (4L, 5L)).toDF("src", "dst")
+    def visits(): Seq[(Long, Long)] =
+      Personalized
+        .personalizedDistributed(spark, edges2, 0L, 30000, p)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+    val r1 = visits()
+    assert(r1 === visits(), "distributed personalized rank must be deterministic in (seed, source, numWalks)")
+    val tot = r1.map(_._2).sum.toDouble
+    val gotA = Array.tabulate(6)(i => r1.toMap.getOrElse(i.toLong, 0L) / tot)
+    assert(l1(gotA, Array(0.54054, 0.22973, 0.22973, 0, 0, 0)) <= 0.02, s"acyclic2 got=${gotA.mkString(",")}")
+  }
+
   test("distributed path: sampled pool via walksVisitingAny matches closed form") {
     val spark = graft.core.Sessions.local(4, appName = "personalized-spec")
     import spark.implicits._

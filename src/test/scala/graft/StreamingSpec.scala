@@ -167,6 +167,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.batchIds().isEmpty)
     val all2 = store.readAll().get.collect().map(_.getString(0)).toSet
     assert(all2 === (0L until 7L).map(i => s"u$i").toSet)
+
+    // crash debris GC (ADVICE r3): a markerless compact dir (crashed before
+    // its marker), a stale compact dir + marker below the current one, and
+    // a covered-but-undeleted batch dir are all swept on the next
+    // maybeCompact — and readers were never affected
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration
+    )
+    Seq((s"u98", 98L)).toDF("url", "v").write.parquet(s"$root/compact_upto=98") // markerless orphan
+    Seq((s"u99", 99L)).toDF("url", "v").write.parquet(s"$root/compact_upto=2") // stale, below marker
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_compact_2"), true).close() // stale marker
+    Seq((s"u1", 1L)).toDF("url", "v").write.parquet(s"$root/batch=1") // covered, undeleted
+    val visible = store.readAll().get.collect().map(_.getString(0)).toSet
+    assert(visible === (0L until 7L).map(i => s"u$i").toSet, "debris must be invisible to readers")
+    store.maybeCompact(6L, minBatches = 100) // below threshold: GC only
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/compact_upto=98")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/compact_upto=2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_compact_2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/batch=1")))
+    assert(store.lastCompaction() === 6L)
+    assert(store.readAll().get.collect().map(_.getString(0)).toSet === (0L until 7L).map(i => s"u$i").toSet)
   }
 
   test("out-of-order page version fails fast instead of corrupting version numbering (ADVICE r2)") {
