@@ -20,6 +20,15 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // The round fetch pushes an InSet(url) of up to a full batch into the
+      // bucketed extracted store's scan. Above this threshold Spark
+      // degrades the parquet-level filter to a min/max range — useless for
+      // a random url batch — so raise it to the fetch prefilter cap:
+      // bucket pruning prunes files at planning, and within a selected
+      // url-SORTED bucket the exact IN predicate lets parquet skip row
+      // groups outside the batch's url ranges (the point-lookup story at
+      // production file sizes).
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", graft.round.RoundDriver.MaxFetchPrefilterUrls.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()

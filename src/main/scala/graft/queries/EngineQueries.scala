@@ -173,12 +173,34 @@ object EngineQueries {
       |)
       |SELECT start, pos, node FROM walk ORDER BY start, pos""".stripMargin
 
+  /** q43 — fully distributed personalized rank (U6's many-short-reset-walks
+    * form, round 4): independent reset segments from the source advance
+    * through the join-per-hop walker, visit-frequency estimator, ZERO
+    * driver-held graph or walk pool — the mega-hub / 10^10-graph path.
+    * Same derived graph as q17/q29. Seeded Monte Carlo ⇒ rows-only driver
+    * check; values pinned by PersonalizedSpec's closed-form fixtures and
+    * determinism test. maxWalkSteps=16 bounds the bulk-synchronous hop
+    * count (the α-geometric tail beyond 16 carries < 0.85^16 ≈ 7% of one
+    * segment's mass — a documented estimator truncation, not a correctness
+    * knob).
+    */
+  def q43PersonalizedDist(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val n = t(dir, "customer").count()
+    val edges = t(dir, "orders")
+      .select(col("o_custkey").cast("long").as("src"), ((col("o_orderkey") * 7) % n + 1).cast("long").as("dst"))
+      .distinct()
+    graft.walks.Personalized
+      .personalizedDistributed(spark, edges, 1L, 5000, CrawlParams(maxWalkSteps = 16))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_walk_rank" -> q29WalkRank _,
     "q30_bloom_seen" -> q30BloomSeen _,
     "q31_approx_distinct" -> q31ApproxDistinct _,
     "q32_media_features" -> q32MediaFeatures _,
-    "q39_walk_alpha1" -> q39WalkAlphaOne _
+    "q39_walk_alpha1" -> q39WalkAlphaOne _,
+    "q43_personalized_dist" -> q43PersonalizedDist _
   )
 
   /** q29-q31 stay rows-only (seeded RNG / sketches, each pinned by
