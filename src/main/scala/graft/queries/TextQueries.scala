@@ -762,6 +762,52 @@ object TextQueries {
         |SELECT label AS keeper, count(*) AS n_members, max(node) AS max_member
         |FROM labels GROUP BY label ORDER BY keeper""".stripMargin
 
+  /** q44 — trigram full-text search: the READ path for the reference's
+    * write-only FTS5 trigram profile index
+    * (/root/reference/pkg/store/schema.sql:12-25 builds the index; nothing
+    * in pkg/ ever queries it). Build a distinct (trigram → doc) postings
+    * table — shuffle-by-trigram, the inverted-index shape — and rank docs
+    * by how many of the query's character trigrams they contain. The query
+    * string derives from doc 0's text prefix (deterministic; the oracle
+    * mirrors it with a scalar subquery), its trigram set is tiny and
+    * broadcasts into the probe join. At corpus scale the postings build is
+    * the one-time index pass (bucket it by `g` for reuse) and each search
+    * touches only the query trigrams' posting lists.
+    */
+  def q44TrigramSearch(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val docs = t(dir, "documents").select(col("doc_id"), lower(col("text")).as("t")).filter(length(col("t")) >= 3)
+    val tri = docs.select(
+      col("doc_id"),
+      explode(array_distinct(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))).as("g")
+    )
+    val qText = t(dir, "documents")
+      .filter(col("doc_id") === 0)
+      .select(lower(substring(col("text"), 1, 24)))
+      .head()
+      .getString(0)
+    val qTri = qText.sliding(3).filter(_.length == 3).toSeq.distinct
+    tri
+      .join(broadcast(qTri.toDF("g")), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_match"))
+      .withColumn("score", round(col("n_match").cast("double") / lit(qTri.size.toDouble), 4))
+      .orderBy(col("n_match").desc, col("doc_id").asc)
+      .limit(10)
+  }
+  val q44Sql: String =
+    """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= 3),
+      |tri AS (SELECT DISTINCT doc_id, substr(t, i, 3) AS g
+      |        FROM d, (SELECT unnest(range(1, 2001)) AS i) r WHERE i + 2 <= len(t)),
+      |q AS (SELECT DISTINCT substr(qt, i, 3) AS g
+      |      FROM (SELECT (SELECT lower(substr(text, 1, 24)) FROM documents WHERE doc_id = 0) AS qt),
+      |           (SELECT unnest(range(1, 23)) AS i) WHERE i + 2 <= len(qt)),
+      |m AS (SELECT doc_id, count(*) AS n_match FROM tri JOIN q USING (g) GROUP BY doc_id)
+      |SELECT doc_id, n_match,
+      |       CAST(round(CAST(n_match AS DOUBLE) / (SELECT count(*) FROM q), 4) AS DOUBLE) AS score
+      |FROM m ORDER BY n_match DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> q18DedupExact _,
     "q19_token_count" -> q19TokenCount _,
@@ -778,7 +824,8 @@ object TextQueries {
     "q34_dedup_clusters" -> q34DedupClusters _,
     "q38_ann_multiprobe" -> q38AnnMultiProbe _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
-    "q42_simhash_near_dup" -> q42SimhashNearDup _
+    "q42_simhash_near_dup" -> q42SimhashNearDup _,
+    "q44_trigram_search" -> q44TrigramSearch _
   )
 
   val oracles: Map[String, String] = Map(
@@ -797,6 +844,7 @@ object TextQueries {
     "q34_dedup_clusters" -> q34Sql,
     "q38_ann_multiprobe" -> q38Sql,
     "q41_embedding_near_dup" -> q41Sql,
-    "q42_simhash_near_dup" -> q42Sql
+    "q42_simhash_near_dup" -> q42Sql,
+    "q44_trigram_search" -> q44Sql
   )
 }

@@ -286,6 +286,7 @@ class RoundDriver(
     var fetched = io.read(base, "fetched")
     var enqueued = io.read(base, "enqueued")
     var leaks = if (io.exists(base, "leaks")) io.read(base, "leaks") else spark.emptyDataset[LeakRecord].toDF
+    var visits = io.read(base, "visits")
     ((base + 1) to target).foreach { r =>
       if (io.exists(r, "nodes_added")) nodes = nodes.union(io.read(r, "nodes_added"))
       if (io.exists(r, "nodes_updates")) {
@@ -317,6 +318,7 @@ class RoundDriver(
       if (io.exists(r, "fetched_add")) fetched = fetched.union(io.read(r, "fetched_add"))
       if (io.exists(r, "enqueued_add")) enqueued = enqueued.union(io.read(r, "enqueued_add")).dropDuplicates("url")
       if (io.exists(r, "leaks_add")) leaks = leaks.union(io.read(r, "leaks_add"))
+      if (io.exists(r, "visits_delta")) visits = applyVisitDeltas(visits, io.read(r, "visits_delta"))
     }
     val nodesC = nodes.localCheckpoint(true)
     val edgesC = edges.localCheckpoint(true)
@@ -324,7 +326,7 @@ class RoundDriver(
     val fetchedC = fetched.localCheckpoint(true)
     val enqueuedC = enqueued.localCheckpoint(true)
     val leaksC = leaks.localCheckpoint(true)
-    val visits = io.read(target, "visits").localCheckpoint(true)
+    val visitsC = visits.localCheckpoint(true)
     val nextId = nodesC.agg(max($"id")).as[Option[Long]].first().getOrElse(-1L) + 1
     val totalWalks = walksC.count()
     val totalEdges = edgesC.count()
@@ -363,7 +365,7 @@ class RoundDriver(
       walksC,
       fetchedC,
       enqueuedC,
-      visits,
+      visitsC,
       leaksC,
       nextId,
       totalWalks,
@@ -410,6 +412,7 @@ class RoundDriver(
     io.write(round, "fetched", st.fetched)
     io.write(round, "enqueued", st.enqueued)
     io.write(round, "leaks", st.leaks)
+    io.write(round, "visits", st.visits)
     io.commitRound(round) // idempotent
   }
 
@@ -488,6 +491,11 @@ class RoundDriver(
     val touchedAuthors = mutable.LinkedHashSet.empty[Long] // authors whose adjacency changed
     val roundAdj = mutable.Map.empty[Long, Array[Long]] // FINAL adjacency of touched authors (O(changes))
     val visitDeltaParts = mutable.ArrayBuffer.empty[DataFrame] // (node, d)
+    // every visit delta applied this round, kept for the O(changes) delta
+    // log (the visits table itself is only written at compactions — a full
+    // per-round rewrite would be O(crawled graph) IO, the same scale bug
+    // as the round-3 fetch scan)
+    val roundVisitDeltas = mutable.ArrayBuffer.empty[DataFrame]
     // replay logs are NET-of-round: ids touched (replaced/removed/created)
     // plus the FINAL version of each touched id — a walk repaired twice in
     // one round, or repaired then demoted, must not resurrect stale rows.
@@ -737,6 +745,7 @@ class RoundDriver(
       val v = applyVisitDeltas(st.visits, visitDeltaParts.reduce(_ union _)).persist()
       tmpCaches += v
       st.visits = v
+      roundVisitDeltas ++= visitDeltaParts
       visitDeltaParts.clear()
     }
 
@@ -837,6 +846,7 @@ class RoundDriver(
     // promote/demote visit deltas
     if (visitDeltaParts.nonEmpty) {
       st.visits = applyVisitDeltas(st.visits, visitDeltaParts.reduce(_ union _))
+      roundVisitDeltas ++= visitDeltaParts
       visitDeltaParts.clear()
     }
 
@@ -922,7 +932,15 @@ class RoundDriver(
       if (leakRecordParts.nonEmpty) io.write(round, "leaks_add", leakRecordParts.reduce(_ union _))
       io.write(round, "fetched_add", batchUrls.toDF("url"))
       enqueuedAdd.foreach(df => io.write(round, "enqueued_add", df))
-      io.write(round, "visits", st.visits)
+      // visit-count DELTA log (net per node, zeros dropped) — O(changes);
+      // the full visits table lands only at compactions, like every other
+      // state table
+      if (roundVisitDeltas.nonEmpty)
+        io.write(
+          round,
+          "visits_delta",
+          roundVisitDeltas.reduce(_ union _).groupBy("node").agg(sum($"d").as("d")).filter($"d" =!= 0)
+        )
     }
 
     val wallMillis = System.currentTimeMillis() - t0
