@@ -179,10 +179,11 @@ object EngineQueries {
     * driver-held graph or walk pool — the mega-hub / 10^10-graph path.
     * Same derived graph as q17/q29. Seeded Monte Carlo ⇒ rows-only driver
     * check; values pinned by PersonalizedSpec's closed-form fixtures and
-    * determinism test. maxWalkSteps=16 bounds the bulk-synchronous hop
-    * count (the α-geometric tail beyond 16 carries < 0.85^16 ≈ 7% of one
+    * determinism test. maxWalkSteps=12 bounds the bulk-synchronous hop
+    * count (the α-geometric tail beyond 12 carries ~0.85^12 ≈ 14% of one
     * segment's mass — a documented estimator truncation, not a correctness
-    * knob).
+    * knob; at fixture scale each hop is a fixed-latency job, so the cap is
+    * the bench-cost lever).
     */
   def q43PersonalizedDist(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -191,7 +192,7 @@ object EngineQueries {
       .select(col("o_custkey").cast("long").as("src"), ((col("o_orderkey") * 7) % n + 1).cast("long").as("dst"))
       .distinct()
     graft.walks.Personalized
-      .personalizedDistributed(spark, edges, 1L, 5000, CrawlParams(maxWalkSteps = 16))
+      .personalizedDistributed(spark, edges, 1L, 2000, CrawlParams(maxWalkSteps = 12))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -180,7 +180,9 @@ object IterativeRepair {
       }
       .persist()
     val doneParts = mutable.ArrayBuffer.empty[Dataset[RepSt]]
-    val adjDF = adjacency.toDF("src", "follows").persist()
+    // cached WITH hash(src) partitioning so the per-hop equi-join reuses it
+    // instead of re-exchanging the full adjacency every hop
+    val adjDF = adjacency.toDF("src", "follows").repartition(col("src")).persist()
     caches += adjDF
     var live = state.filter(_.segActive).count()
     var iter = 0

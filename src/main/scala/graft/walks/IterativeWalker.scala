@@ -68,8 +68,12 @@ object IterativeWalker {
 
     // the adjacency aggregation (edges → groupByKey → sort) is hop-invariant:
     // materialize it ONCE for the whole drain instead of re-running the
-    // full-graph shuffle on every hop (IterativeRepair does the same)
-    val adjDF = adjacency.toDF("src", "follows").persist()
+    // full-graph shuffle on every hop (IterativeRepair does the same). The
+    // explicit repartition by the join key makes the CACHED partitioning
+    // hash(src), which every per-hop equi-join reuses — without it each hop
+    // re-exchanges the full adjacency (cached rows, but a full shuffle per
+    // hop: the dominant per-hop cost at 10^10 edges)
+    val adjDF = adjacency.toDF("src", "follows").repartition(col("src")).persist()
 
     while (live > 0 && iter < params.maxWalkSteps) {
       val liveDS = state.filter(_.alive)
