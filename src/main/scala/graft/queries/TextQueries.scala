@@ -762,6 +762,37 @@ object TextQueries {
         |SELECT label AS keeper, count(*) AS n_members, max(node) AS max_member
         |FROM labels GROUP BY label ORDER BY keeper""".stripMargin
 
+  /** q45 — BPE-style pre-tokenization counts: the GPT-2-family
+    * pre-tokenizer splits text into word / number / punctuation chunks
+    * before byte-pair merging; this is that split as a portable regex
+    * (letters+ | digits+ | single non-alnum-non-space), lowercased, with
+    * per-doc total/distinct chunk counts and the corpus-level
+    * total-token histogram a tokenizer-training pass needs. Same regex
+    * dialect in Spark (Java regex) and DuckDB (RE2), so the oracle is
+    * value-level.
+    */
+  def q45RegexTokens(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    t(dir, "documents")
+      .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$pat', 0)").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct")
+      )
+      .groupBy("n_tokens")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"), max(col("n_distinct")).as("max_distinct"))
+      .orderBy("n_tokens")
+  }
+  val q45Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |                    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+      |                    CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_distinct
+      |             FROM documents)
+      |SELECT n_tokens, count(*) AS n_docs, min(doc_id) AS first_doc, max(n_distinct) AS max_distinct
+      |FROM tok GROUP BY n_tokens ORDER BY n_tokens""".stripMargin
+
   /** q44 — trigram full-text search: the READ path for the reference's
     * write-only FTS5 trigram profile index
     * (/root/reference/pkg/store/schema.sql:12-25 builds the index; nothing
@@ -825,7 +856,8 @@ object TextQueries {
     "q38_ann_multiprobe" -> q38AnnMultiProbe _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
     "q42_simhash_near_dup" -> q42SimhashNearDup _,
-    "q44_trigram_search" -> q44TrigramSearch _
+    "q44_trigram_search" -> q44TrigramSearch _,
+    "q45_regex_tokens" -> q45RegexTokens _
   )
 
   val oracles: Map[String, String] = Map(
@@ -845,6 +877,7 @@ object TextQueries {
     "q38_ann_multiprobe" -> q38Sql,
     "q41_embedding_near_dup" -> q41Sql,
     "q42_simhash_near_dup" -> q42Sql,
-    "q44_trigram_search" -> q44Sql
+    "q44_trigram_search" -> q44Sql,
+    "q45_regex_tokens" -> q45Sql
   )
 }
