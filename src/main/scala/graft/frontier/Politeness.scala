@@ -91,7 +91,11 @@ object Politeness {
     val withHost = pending.join(nodes, Seq("url"))
     val gated = robots match {
       case Some(rules) =>
-        val r = broadcast(rules.select(col("host").as("rhost"), col("prefix").as("rprefix")))
+        // no forced broadcast: rule tables small enough broadcast anyway
+        // (Catalyst/AQE sizing), and a web-scale rules table (per-host
+        // disallow lists for 10^8 hosts) must shuffle-join on host instead
+        // of being forced through the driver
+        val r = rules.select(col("host").as("rhost"), col("prefix").as("rprefix"))
         withHost
           .withColumn("__path", pathOf(col("url")))
           .join(r, withHost("host") === col("rhost") && col("__path").startsWith(col("rprefix")), "left_anti")
