@@ -762,6 +762,53 @@ object TextQueries {
         |SELECT label AS keeper, count(*) AS n_members, max(node) AS max_member
         |FROM labels GROUP BY label ORDER BY keeper""".stripMargin
 
+  /** q46 — batch ANN: top-3 cosine neighbors for a SET of query vectors in
+    * one bucketed join (the production shape — per-query probes like
+    * q26/q28/q38 don't amortize over a 10^9-query batch; a
+    * queries ⋈ candidates equi-join on the sign-code bucket does).
+    * 4-bit blocking → exact double-accumulated cosine on same-bucket
+    * candidates → windowed top-3 per query. Recall is the blocking's
+    * documented trade, identical in the oracle.
+    */
+  def q46BatchAnn(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bucket = (1 to 4)
+      .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
+      .reduce((a, b) => concat(a, b))
+    val e = t(dir, "embeddings").select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val dot = expr(
+      "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    val nq = expr("aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    val nc = expr("aggregate(ce, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("cand_id").asc)
+    e.filter(col("vec_id").between(1, 5))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      .join(e.select(col("bucket"), col("vec_id").as("cand_id"), col("embedding").as("ce")), Seq("bucket"))
+      .filter(col("qid") =!= col("cand_id"))
+      .withColumn("cos_r", round(dot / (sqrt(nq) * sqrt(nc)), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast("long").as("rn"), col("cand_id"), col("cos_r"))
+      .orderBy("qid", "rn")
+  }
+  val q46Sql: String = {
+    val b = (1 to 4)
+      .map(i => s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings),
+       |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cand_id, q.embedding AS qe, c.embedding AS ce
+       |         FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |         WHERE q.vec_id BETWEEN 1 AND 5),
+       |pairs AS (SELECT qid, cand_id, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y FROM cand),
+       |sums AS (SELECT qid, cand_id, sum(x*y) AS dot, sum(x*x) AS nq, sum(y*y) AS nc FROM pairs GROUP BY qid, cand_id),
+       |scored AS (SELECT qid, cand_id, CAST(round(dot / (sqrt(nq) * sqrt(nc)), 4) AS DOUBLE) AS cos_r FROM sums),
+       |ranked AS (SELECT qid, cand_id, cos_r,
+       |                  row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand_id) AS rn
+       |           FROM scored)
+       |SELECT qid, CAST(rn AS BIGINT) AS rn, cand_id, cos_r FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   /** q45 — BPE-style pre-tokenization counts: the GPT-2-family
     * pre-tokenizer splits text into word / number / punctuation chunks
     * before byte-pair merging; this is that split as a portable regex
@@ -857,7 +904,8 @@ object TextQueries {
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
     "q42_simhash_near_dup" -> q42SimhashNearDup _,
     "q44_trigram_search" -> q44TrigramSearch _,
-    "q45_regex_tokens" -> q45RegexTokens _
+    "q45_regex_tokens" -> q45RegexTokens _,
+    "q46_batch_ann" -> q46BatchAnn _
   )
 
   val oracles: Map[String, String] = Map(
@@ -878,6 +926,7 @@ object TextQueries {
     "q41_embedding_near_dup" -> q41Sql,
     "q42_simhash_near_dup" -> q42Sql,
     "q44_trigram_search" -> q44Sql,
-    "q45_regex_tokens" -> q45Sql
+    "q45_regex_tokens" -> q45Sql,
+    "q46_batch_ann" -> q46Sql
   )
 }
