@@ -37,6 +37,10 @@ object CrawlMain {
     val topK = if (args.length > 4) args(4).toInt else 20
     val cores = if (args.length > 5) args(5).toInt else 8
     val mode = if (args.length > 6) args(6) else "splice"
+    if (mode != "splice" && mode != "dist") {
+      System.err.println(s"unknown rank mode '$mode' (expected splice|dist)")
+      sys.exit(2)
+    }
     val spark = Sessions.local(cores, appName = "graft-rank")
     val io = new ParquetTableIO(spark, stateDir)
     val last = io.lastCompleteRound()
@@ -69,7 +73,7 @@ object CrawlMain {
   def main(args: Array[String]): Unit = {
     if (args.length >= 1 && args(0) == "rank") { rankMain(args); return }
     if (args.length < 3) {
-      System.err.println("usage: CrawlMain <tiny|small|bench> <stateDir> <maxRounds> [cores] [batch] [hostBudget] [walksPerNode] | CrawlMain rank <stateDir> <sourceId> [targetLength] [topK] [cores]")
+      System.err.println("usage: CrawlMain <tiny|small|bench> <stateDir> <maxRounds> [cores] [batch] [hostBudget] [walksPerNode] | CrawlMain rank <stateDir> <sourceId> [targetLength] [topK] [cores] [splice|dist]")
       sys.exit(2)
     }
     val cfg = args(0) match {
@@ -103,8 +107,23 @@ object CrawlMain {
     // cache (fine at fixture scale).
     val extracted =
       if (bucketed) {
-        if (io.lastCompleteRound() < 0 || !io.exists(0L, "extracted"))
+        import spark.implicits._
+        val cfgDF = Seq((args(0), cfg.pages, cfg.hosts)).toDF("scale", "pages", "hosts")
+        if (io.lastCompleteRound() < 0 || !io.exists(0L, "extracted")) {
           io.write(0L, "extracted", CrawlEngine.extractPages(spark, pages.toDF))
+          io.write(0L, "extracted_cfg", cfgDF)
+        } else if (io.exists(0L, "extracted_cfg")) {
+          // a resumed crawl must not silently fetch from an extraction of a
+          // DIFFERENT corpus (e.g. `tiny` state dir resumed with `small`)
+          val stored = io.read(0L, "extracted_cfg").collect().head
+          require(
+            stored == cfgDF.collect().head,
+            s"extracted store at $stateDir was built from corpus $stored; resume requested with scale=${args(0)} " +
+              s"(pages=${cfg.pages}, hosts=${cfg.hosts}) — use a fresh state dir"
+          )
+        } else {
+          io.write(0L, "extracted_cfg", cfgDF) // legacy state dir: adopt
+        }
         io.read(0L, "extracted")
       } else CrawlEngine.extractPages(spark, pages.toDF).persist()
     // GRAFT_BROADCAST_MAX_EDGES=0 forces the join-based iterative walker

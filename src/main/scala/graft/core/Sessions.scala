@@ -29,6 +29,14 @@ object Sessions {
       // groups outside the batch's url ranges (the point-lookup story at
       // production file sizes).
       .config("spark.sql.parquet.pushdown.inFilterThreshold", graft.round.RoundDriver.MaxFetchPrefilterUrls.toString)
+      // Spark renders every action's FULL plan string for the
+      // SQLExecutionStart event even with the UI off; iterative plans with
+      // nested cached relations (the walker's hop chains) can make that
+      // string gigabytes — a 12-round all-scale-paths soak OOMed the
+      // driver INSIDE explainString. Cap it: truncating a debug string has
+      // zero semantic effect and also removes minutes of string building
+      // from generation-heavy rounds.
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()

@@ -385,6 +385,18 @@ object TextQueries {
        |FROM sums ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
+  /** `bits`-bit sign-code blocking column over `embedding` — the ONE
+    * definition of the blocking scheme shared by q41/q46 and the candidate
+    * helper; [[sqlSignBucket]] is its oracle twin. Change them together.
+    */
+  private def signBucket(bits: Int): Column =
+    (1 to bits)
+      .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
+      .reduce((a, b) => concat(a, b))
+
+  private def sqlSignBucket(bits: Int): String =
+    (1 to bits).map(i => s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
   /** Embedding-cosine near-dup pairs, parameterized on the sign-code width:
     * blocking = `bits`-bit sign bucket (2^bits blocks); block count is the
     * parallelism/recall knob (4 bits suits the small fixture's weak
@@ -403,12 +415,9 @@ object TextQueries {
       maxBucket: Int = LshMaxBucket
   ): DataFrame = {
     implicit val s: SparkSession = spark
-    val bucket = (1 to bits)
-      .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
-      .reduce((a, b) => concat(a, b))
     val w = Window.partitionBy(col("bucket"))
     val e = t(dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+      .select(col("vec_id"), col("embedding"), signBucket(bits).as("bucket"))
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n").between(2, maxBucket))
       .drop("__n")
@@ -430,12 +439,9 @@ object TextQueries {
     * that the cap bounds candidate count on a mega-block fixture.
     */
   private[graft] def embeddingCandidatePairs(docs: DataFrame, bits: Int, maxBucket: Int): DataFrame = {
-    val bucket = (1 to bits)
-      .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
-      .reduce((a, b) => concat(a, b))
     val w = Window.partitionBy(col("bucket"))
     val e = docs
-      .select(col("vec_id"), bucket.as("bucket"))
+      .select(col("vec_id"), signBucket(bits).as("bucket"))
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n").between(2, maxBucket))
       .drop("__n")
@@ -456,9 +462,7 @@ object TextQueries {
   def q41EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDup(spark, dir, bits = 4)
   val q41Sql: String = {
-    val b = (1 to 4)
-      .map(i => s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
-      .mkString(" || ")
+    val b = sqlSignBucket(4)
     s"""WITH e0 AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings),
        |bok AS (SELECT bucket FROM e0 GROUP BY bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
        |e AS (SELECT e0.* FROM e0 JOIN bok USING (bucket)),
@@ -772,10 +776,7 @@ object TextQueries {
     */
   def q46BatchAnn(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val bucket = (1 to 4)
-      .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
-      .reduce((a, b) => concat(a, b))
-    val e = t(dir, "embeddings").select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val e = t(dir, "embeddings").select(col("vec_id"), col("embedding"), signBucket(4).as("bucket"))
     val dot = expr(
       "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
     )
@@ -793,9 +794,7 @@ object TextQueries {
       .orderBy("qid", "rn")
   }
   val q46Sql: String = {
-    val b = (1 to 4)
-      .map(i => s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
-      .mkString(" || ")
+    val b = sqlSignBucket(4)
     s"""WITH e AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings),
        |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cand_id, q.embedding AS qe, c.embedding AS ce
        |         FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
@@ -855,10 +854,13 @@ object TextQueries {
   def q44TrigramSearch(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
+    // positions capped at 2000 ON BOTH SIDES (the oracle's bounded-range
+    // trick can't enumerate unbounded lengths) — an indexing-prefix bound,
+    // mirrored exactly so long documents can't desynchronize the oracle
     val docs = t(dir, "documents").select(col("doc_id"), lower(col("text")).as("t")).filter(length(col("t")) >= 3)
     val tri = docs.select(
       col("doc_id"),
-      explode(array_distinct(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))).as("g")
+      explode(array_distinct(expr("transform(sequence(1, least(length(t) - 2, 2000)), i -> substring(t, i, 3))"))).as("g")
     )
     val qText = t(dir, "documents")
       .filter(col("doc_id") === 0)

@@ -195,11 +195,17 @@ object Personalized {
       wave = graft.spec.SequentialSpec.GenWave,
       p
     )
-    segs
+    val counts = segs
       .select(explode(col("path")).as("node"))
       .groupBy("node")
       .agg(count(lit(1)).as("visits"))
-      .withColumn("rank", col("visits").cast("double") / sum(col("visits")).over())
+    // scalar total via a broadcast single-row cross join — an unpartitioned
+    // window here would drag every distinct visited node through ONE
+    // partition, the opposite of this function's purpose
+    val total = counts.agg(sum(col("visits")).as("__total"))
+    counts
+      .crossJoin(broadcast(total))
+      .select(col("node"), col("visits"), (col("visits").cast("double") / col("__total")).as("rank"))
       .orderBy("node")
   }
 

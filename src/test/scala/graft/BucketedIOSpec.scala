@@ -135,11 +135,19 @@ class BucketedIOSpec extends AnyFunSuite {
         recordsRead += t.taskMetrics.inputMetrics.recordsRead
     }
     spark.sparkContext.addSparkListener(listener)
+    // listener events are async: wait until the counter stops moving (no
+    // new task-end events for 200ms, up to 8s) instead of a fixed sleep —
+    // fixed waits under- or over-count on a loaded host
+    def settle(): Unit = {
+      var last = -1L
+      var spins = 0
+      while (recordsRead != last && spins < 40) { last = recordsRead; Thread.sleep(200); spins += 1 }
+    }
     def recordsReadBy(f: => Unit): Long = {
-      Thread.sleep(500) // drain stragglers from the previous measurement
+      settle() // drain stragglers from the previous measurement
       recordsRead = 0L
       f
-      Thread.sleep(1500) // listener events are async
+      settle()
       recordsRead
     }
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
