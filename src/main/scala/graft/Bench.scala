@@ -45,10 +45,15 @@ object Bench {
     def js(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
+    // nothing may follow the JSON line on either stream: the harness
+    // extracts it from captured output, and shutdown INFO logging after it
+    // can push it out of a tail window (round-3 capture parsed as None)
+    spark.sparkContext.setLogLevel("ERROR")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""queries":${js(med)},"queries_spread":${js(spread)},"sf":"$sfDir"}"""
     )
+    System.out.flush()
     spark.stop()
   }
 }
