@@ -244,6 +244,9 @@ object IterativeRepair {
 
     val changed = doneParts
       .reduce(_ union _)
+      // one slice per drain iteration — coalesce so downstream jobs over
+      // the changed walks schedule O(cores) tasks, not O(hops × cores)
+      .coalesce(spark.sparkContext.defaultParallelism)
       .filter(_.changed)
       .map(st => (WalkRow(st.walkId, st.start, st.path), st.origPath))
       .persist()

@@ -113,6 +113,10 @@ object IterativeWalker {
     doneParts += state
     doneParts
       .reduce(_ union _)
+      // the union carries one slice per drain iteration (tens of slices ×
+      // shuffle partitions each) — coalesce so every downstream job over
+      // the generated walks schedules O(cores) tasks, not O(hops × cores)
+      .coalesce(spark.sparkContext.defaultParallelism)
       .map(s => WalkRow(s.walkId, s.start, s.path))
   }
 }
