@@ -122,7 +122,18 @@ object CrawlMain {
               s"(pages=${cfg.pages}, hosts=${cfg.hosts}) — use a fresh state dir"
           )
         } else {
-          io.write(0L, "extracted_cfg", cfgDF) // legacy state dir: adopt
+          // legacy state dir (pre-marker): sanity-check the stored
+          // extraction against the requested corpus BEFORE adopting —
+          // stamping the marker blind would bypass the mismatch guard on
+          // exactly the dirs it cannot check. The extraction is one row per
+          // generated page, so a distinct-url count pins the corpus size.
+          val storedPages = io.read(0L, "extracted").select("url").distinct().count()
+          require(
+            storedPages == cfg.pages.toLong,
+            s"extracted store at $stateDir holds $storedPages urls but scale=${args(0)} expects ${cfg.pages} — " +
+              "refusing to adopt a legacy store from a different corpus; use a fresh state dir"
+          )
+          io.write(0L, "extracted_cfg", cfgDF) // verified: adopt
         }
         io.read(0L, "extracted")
       } else CrawlEngine.extractPages(spark, pages.toDF).persist()

@@ -451,6 +451,31 @@ object TextQueries {
       .select("vec_a", "vec_b")
   }
 
+  /** Sign-blocked batch-ANN candidate pairs only (no scoring) — the q46
+    * join shape with its candidate-side cap, exposed so TextDedupSpec can
+    * pin that a dense mega-block yields at most `maxBucket` candidates PER
+    * QUERY (not O(block)) while every query still gets candidates.
+    */
+  private[graft] def batchAnnCandidates(
+      docs: DataFrame,
+      bits: Int,
+      maxBucket: Int,
+      queryIds: Seq[Long]
+  ): DataFrame = {
+    val e = docs.select(col("vec_id"), signBucket(bits).as("bucket"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("cand_id").asc)
+    val cands = e
+      .select(col("bucket"), col("vec_id").as("cand_id"))
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+    e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("bucket"))
+      .join(cands, Seq("bucket"))
+      .filter(col("qid") =!= col("cand_id"))
+      .select("qid", "cand_id")
+  }
+
   /** q41 — embedding-cosine near-dup pairs (the ANN-dedup shape: blocked
     * candidate generation + exact verify, the vector analog of q33's LSH
     * text dedup). 4-bit sign blocking, block cap, exact double-accumulated
@@ -676,8 +701,12 @@ object TextQueries {
       spark: SparkSession,
       edgesBoth: DataFrame
   ): (DataFrame, Int, () => Unit) = {
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("label"))).first().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // decimal(38,0) accumulator: a 10^10-node graph carrying ~10^10 ids sums
+    // to ~10^20 > Long.MAX, which ANSI-mode Spark turns into a runtime
+    // ArithmeticException (TextDedupSpec pins ids near Long.MAX/n)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     // Rebase a label table onto a flat LogicalRDD backed by a persisted
     // row RDD. This cuts the logical plan EVERY iteration — the pointer
     // jump self-joins the previous iteration's output, so without a cut the
@@ -716,7 +745,7 @@ object TextQueries {
       labels = jumpDF
       labelsRdd = jumpRdd
       iter += 1
-      if (s == prevSum) converged = true else prevSum = s
+      if (s.compareTo(prevSum) == 0) converged = true else prevSum = s
     }
     val finalRdd = labelsRdd
     (labels, iter, () => { finalRdd.unpersist(); () })
@@ -783,9 +812,26 @@ object TextQueries {
     val nq = expr("aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
     val nc = expr("aggregate(ce, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("cand_id").asc)
+    // Dense-block guard — the CANDIDATE side of each bucket is capped at the
+    // first LshMaxBucket members by vec_id BEFORE the join. Unlike the dedup
+    // caps (q33/q41/q42) the bucket cannot be DROPPED — an ANN query must
+    // still get an answer — so the guard truncates the candidate list
+    // instead: join output is O(queries-in-bucket × cap), never O(block²),
+    // and a near-zero-embedding mega-block (a certainty in a web corpus)
+    // costs each of its queries at most `cap` candidate rows on the shared
+    // shuffle key. Recall inside an over-cap block is the documented trade
+    // (deterministic by vec_id; mirrored in the oracle's row_number, so the
+    // values stay pinned); TextDedupSpec's batch mega-block fixture asserts
+    // the bound with the genuine neighbor surviving.
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("cand_id").asc)
+    val cands = e
+      .select(col("bucket"), col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= LshMaxBucket)
+      .drop("__rn")
     e.filter(col("vec_id").between(1, 5))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-      .join(e.select(col("bucket"), col("vec_id").as("cand_id"), col("embedding").as("ce")), Seq("bucket"))
+      .join(cands, Seq("bucket"))
       .filter(col("qid") =!= col("cand_id"))
       .withColumn("cos_r", round(dot / (sqrt(nq) * sqrt(nc)), 4))
       .withColumn("rn", row_number().over(w))
@@ -796,8 +842,11 @@ object TextQueries {
   val q46Sql: String = {
     val b = sqlSignBucket(4)
     s"""WITH e AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings),
+       |cap AS (SELECT bucket, vec_id, embedding,
+       |               row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+       |        FROM e),
        |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cand_id, q.embedding AS qe, c.embedding AS ce
-       |         FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |         FROM e q JOIN cap c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id AND c.rn <= $LshMaxBucket
        |         WHERE q.vec_id BETWEEN 1 AND 5),
        |pairs AS (SELECT qid, cand_id, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y FROM cand),
        |sums AS (SELECT qid, cand_id, sum(x*y) AS dot, sum(x*x) AS nq, sum(y*y) AS nc FROM pairs GROUP BY qid, cand_id),
@@ -851,6 +900,22 @@ object TextQueries {
     * the one-time index pass (bucket it by `g` for reuse) and each search
     * touches only the query trigrams' posting lists.
     */
+  /** The deterministic search string q44/q48 share: doc 0's lowercased
+    * 24-char prefix (the oracle mirrors it with a scalar subquery).
+    */
+  private def searchQueryText(dir: String)(implicit spark: SparkSession): String =
+    t(dir, "documents")
+      .filter(col("doc_id") === 0)
+      .select(lower(substring(col("text"), 1, 24)))
+      .collect()
+      .headOption
+      .map(_.getString(0))
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"q44/q48: no document with doc_id = 0 in $dir/documents.parquet — the query text derives from it (oracle mirrors the same scalar subquery)"
+        )
+      )
+
   def q44TrigramSearch(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
@@ -862,11 +927,7 @@ object TextQueries {
       col("doc_id"),
       explode(array_distinct(expr("transform(sequence(1, least(length(t) - 2, 2000)), i -> substring(t, i, 3))"))).as("g")
     )
-    val qText = t(dir, "documents")
-      .filter(col("doc_id") === 0)
-      .select(lower(substring(col("text"), 1, 24)))
-      .head()
-      .getString(0)
+    val qText = searchQueryText(dir)
     val qTri = qText.sliding(3).filter(_.length == 3).toSeq.distinct
     tri
       .join(broadcast(qTri.toDF("g")), Seq("g"))
@@ -888,6 +949,89 @@ object TextQueries {
       |       CAST(round(CAST(n_match AS DOUBLE) / (SELECT count(*) FROM q), 4) AS DOUBLE) AS score
       |FROM m ORDER BY n_match DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q48 — index-backed trigram search: q44's exact query served from the
+    * PERSISTED bucketed postings index (TrigramIndex) instead of a corpus
+    * scan. The index builds once per corpus (first call; ~q44's postings
+    * pass) and every later call is probe-only — InSet(g) bucket pruning +
+    * row-group skipping make the read O(query trigrams), records-read-
+    * asserted by TrigramIndexSpec. Same output as q44, so the SAME
+    * value-level oracle pins the indexed path (the oracle recomputes from
+    * the documents table — it cannot see the index, which is the point).
+    */
+  def q48IndexedSearch(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = TrigramIndex.defaultPath(dir)
+    if (!TrigramIndex.exists(spark, path)) TrigramIndex.build(spark, t(dir, "documents"), path)
+    TrigramIndex.search(spark, path, searchQueryText(dir), topK = 10)
+  }
+  val q48Sql: String = q44Sql
+
+  /** Core of q47: rank corpus docs by 3-gram shingle overlap against each
+    * benchmark doc. `benchMaxId` splits the documents table (doc_id <
+    * benchMaxId = the held-out eval set); shingles whose CORPUS document
+    * frequency exceeds `dfCap` are dropped before matching (IDF-style
+    * pruning, the same mega-key guard as the LSH caps: a trigram present in
+    * thousands of docs is boilerplate, carries no contamination signal, and
+    * would otherwise be one quadratic shuffle key). Exposed for
+    * TextDedupSpec's planted-contamination fixture.
+    */
+  private[graft] def decontaminationScan(
+      docs: DataFrame,
+      benchMaxId: Long,
+      dfCap: Int,
+      topK: Int
+  ): DataFrame = {
+    val bsh = shingles(docs.filter(col("doc_id") < benchMaxId)).select(col("doc_id").as("bench_id"), col("tok"))
+    val bSize = bsh.groupBy("bench_id").agg(count(lit(1)).as("n_bench"))
+    val wdf = Window.partitionBy(col("tok"))
+    val csh = shingles(docs.filter(col("doc_id") >= benchMaxId))
+      .withColumn("__df", count(lit(1)).over(wdf))
+      .filter(col("__df") <= dfCap)
+      .drop("__df")
+    val w = Window.partitionBy(col("bench_id")).orderBy(col("n_common").desc, col("doc_id").asc)
+    csh
+      .join(broadcast(bsh), Seq("tok"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(bSize), Seq("bench_id"))
+      .withColumn("overlap_r", round(col("n_common").cast("double") / col("n_bench"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("bench_id"), col("rn").cast("long").as("rn"), col("doc_id"), col("n_common"), col("overlap_r"))
+      .orderBy("bench_id", "rn")
+  }
+
+  /** q47 — decontamination scan (training-data hygiene's most-asked query):
+    * for each doc in the held-out "benchmark" set (doc_id < 16 — the
+    * deterministic eval-set stand-in), the top-5 corpus docs by 3-gram
+    * shingle overlap, with the contamination ratio |∩| / |bench shingles|.
+    * Scale shape: the benchmark side is small by definition → its shingle
+    * set broadcasts into the probe join; the corpus side streams through
+    * one shuffle-by-shingle; boilerplate shingles are DF-capped (mirrored
+    * in the oracle's HAVING) so no shuffle key goes quadratic. A planted
+    * exact copy surfaces at overlap_r = 1.0 (TextDedupSpec pins it).
+    */
+  def q47Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    decontaminationScan(t(dir, "documents"), benchMaxId = 16L, dfCap = LshMaxBucket, topK = 5)
+  }
+  val q47Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS tok
+       |       FROM w, (SELECT unnest(range(1, 4001)) AS i) r WHERE i + 2 <= len(ws)),
+       |bsh AS (SELECT doc_id AS bench_id, tok FROM sh WHERE doc_id < 16),
+       |bsize AS (SELECT bench_id, count(*) AS n_bench FROM bsh GROUP BY bench_id),
+       |csh0 AS (SELECT doc_id, tok FROM sh WHERE doc_id >= 16),
+       |rare AS (SELECT tok FROM csh0 GROUP BY tok HAVING count(*) <= $LshMaxBucket),
+       |csh AS (SELECT c.doc_id, c.tok FROM csh0 c JOIN rare USING (tok)),
+       |m AS (SELECT c.doc_id, b.bench_id, count(*) AS n_common FROM csh c JOIN bsh b USING (tok) GROUP BY c.doc_id, b.bench_id),
+       |r AS (SELECT bench_id, doc_id, n_common,
+       |             CAST(round(CAST(n_common AS DOUBLE) / s.n_bench, 4) AS DOUBLE) AS overlap_r,
+       |             row_number() OVER (PARTITION BY bench_id ORDER BY n_common DESC, doc_id) AS rn
+       |      FROM m JOIN bsize s USING (bench_id))
+       |SELECT bench_id, CAST(rn AS BIGINT) AS rn, doc_id, n_common, overlap_r
+       |FROM r WHERE rn <= 5 ORDER BY bench_id, rn""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> q18DedupExact _,
     "q19_token_count" -> q19TokenCount _,
@@ -907,7 +1051,9 @@ object TextQueries {
     "q42_simhash_near_dup" -> q42SimhashNearDup _,
     "q44_trigram_search" -> q44TrigramSearch _,
     "q45_regex_tokens" -> q45RegexTokens _,
-    "q46_batch_ann" -> q46BatchAnn _
+    "q46_batch_ann" -> q46BatchAnn _,
+    "q47_decontamination" -> q47Decontamination _,
+    "q48_indexed_search" -> q48IndexedSearch _
   )
 
   val oracles: Map[String, String] = Map(
@@ -929,6 +1075,8 @@ object TextQueries {
     "q42_simhash_near_dup" -> q42Sql,
     "q44_trigram_search" -> q44Sql,
     "q45_regex_tokens" -> q45Sql,
-    "q46_batch_ann" -> q46Sql
+    "q46_batch_ann" -> q46Sql,
+    "q47_decontamination" -> q47Sql,
+    "q48_indexed_search" -> q48Sql
   )
 }

@@ -319,6 +319,10 @@ class RoundDriver(
       if (io.exists(r, "enqueued_add")) enqueued = enqueued.union(io.read(r, "enqueued_add")).dropDuplicates("url")
       if (io.exists(r, "leaks_add")) leaks = leaks.union(io.read(r, "leaks_add"))
       if (io.exists(r, "visits_delta")) visits = applyVisitDeltas(visits, io.read(r, "visits_delta"))
+      // legacy pre-delta-log dirs wrote the FULL visits table every round
+      // (no visits_delta): adopt it verbatim — skipping it would silently
+      // resume with visit counts stale back to the last compaction
+      else if (io.exists(r, "visits")) visits = io.read(r, "visits")
     }
     val nodesC = nodes.localCheckpoint(true)
     val edgesC = edges.localCheckpoint(true)

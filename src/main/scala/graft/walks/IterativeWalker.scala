@@ -40,6 +40,33 @@ object IterativeWalker {
     edges.groupByKey(_._1).mapGroups((src, it) => (src, it.map(_._2).toArray.sorted))
   }
 
+  /** Initial in-flight segments: `walksPerNode` per start node, walkIds
+    * nodeId*walksPerNode+i as everywhere else. The flatMap multiplies each
+    * input row by walksPerNode IN PLACE — a single-source call (the
+    * distributed personalized rank's shape) would otherwise emit ALL
+    * numWalks segments from one input row into ONE partition and push the
+    * whole hop-1 map through one task, so the fan-out is immediately
+    * repartitioned by walkId (tiny length-1 rows; one cheap exchange).
+    * Residual hop-1 JOIN-key skew (every segment carries cur = source) is
+    * AQE's skew-split domain; the partition spread here is pinned by
+    * PersonalizedSpec's task-level assertion.
+    */
+  private[graft] def initialSegments(
+      spark: SparkSession,
+      starts: Dataset[Long],
+      params: CrawlParams
+  ): Dataset[St] = {
+    import spark.implicits._
+    val p = params
+    starts
+      .flatMap { node =>
+        (0 until p.walksPerNode).iterator.map { i =>
+          St(node * p.walksPerNode + i, node, Array(node), node, 0L, alive = true)
+        }
+      }
+      .repartition(spark.sparkContext.defaultParallelism, col("walkId"))
+  }
+
   /** Generate `walksPerNode` walks per start node. `starts` carries
     * (nodeId); walkIds are nodeId*walksPerNode+i as everywhere else.
     */
@@ -54,13 +81,7 @@ object IterativeWalker {
   ): Dataset[WalkRow] = {
     import spark.implicits._
     val p = params
-    var state: Dataset[St] = starts
-      .flatMap { node =>
-        (0 until p.walksPerNode).iterator.map { i =>
-          St(node * p.walksPerNode + i, node, Array(node), node, 0L, alive = true)
-        }
-      }
-      .persist()
+    var state: Dataset[St] = initialSegments(spark, starts, p).persist()
 
     var live = state.filter(_.alive).count()
     var iter = 0

@@ -106,6 +106,86 @@ class TextDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wide.contains((300L, 301L)), "near-dup pair must survive the wider code")
   }
 
+  test("q46 batch-ANN cap: a dense sign-block bounds candidates PER QUERY, every query still answered") {
+    val sp = spark; import sp.implicits._
+    def vec(signs: Seq[Int], seed: Int): Array[Float] =
+      (signs ++ (signs.length until 8).map(j => if (((seed >> (j - 4)) & 1) == 1) 1 else -1)).zipWithIndex.map {
+        case (s, j) => s * (0.1f + ((seed * 31 + j * 7) % 11) * 0.013f)
+      }.toArray
+    // same shape as the q41 fixture: a 200-member mega-block + a genuine
+    // near-dup pair in its own block + scatter
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 200L).map(i => (i, vec(Seq(1, 1, 1, 1), i.toInt))) ++
+        Seq((300L, vec(Seq(1, -1, 1, -1), 5)), (301L, vec(Seq(1, -1, 1, -1), 5).map(x => x * 1.001f))) ++
+        (400L until 440L).map(i => (i, vec(Seq(-1, -1, -1, -1), i.toInt)))
+    val docs = rows.toDF("vec_id", "embedding")
+    val cap = 50
+
+    // queries: one INSIDE the mega-block (7), one in the near-dup block (300)
+    val cand = TextQueries
+      .batchAnnCandidates(docs, 4, cap, Seq(7L, 300L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perQuery = cand.groupBy(_._1).view.mapValues(_.length).toMap
+    // unlike the dedup caps, the mega-block query is NOT dropped — it gets
+    // candidates, just a bounded list (the first `cap` members by vec_id)
+    assert(perQuery.getOrElse(7L, 0) > 0, "mega-block query must still get candidates")
+    assert(perQuery.values.forall(_ <= cap), s"per-query candidates must be <= cap: $perQuery")
+    assert(cand.contains((300L, 301L)), "genuine neighbor must survive the cap")
+
+    // uncapped, the mega-block query pays O(block) candidates — the cap is
+    // load-bearing
+    val uncapped = TextQueries
+      .batchAnnCandidates(docs, 4, Int.MaxValue, Seq(7L))
+      .count()
+    assert(uncapped >= 199L, s"uncapped=$uncapped should be O(block)")
+  }
+
+  test("q47 decontamination: a planted contaminated doc surfaces at overlap 1.0; boilerplate shingles are DF-capped") {
+    val contaminated = (0 until 40).map(j => s"c$j").mkString(" ")
+    val boiler = "b0 b1 b2 b3 b4"
+    val rows =
+      // bench set (doc_id < 8): unique fillers, except doc 5 (the leaked
+      // eval doc) and doc 3 (ends with the boilerplate every corpus doc has)
+      (0L until 8L).map {
+        case 5L => (5L, contaminated)
+        case 3L => (3L, filler(3) + " " + boiler)
+        case i  => (i, filler(i))
+      } ++
+        // corpus: doc 100 is an exact copy of bench doc 5; 101-160 unique
+        // but all carrying the boilerplate suffix
+        Seq((100L, contaminated)) ++
+        (101L until 161L).map(i => (i, filler(i) + " " + boiler))
+    val docs = docsDF(rows)
+
+    val capped = TextQueries.decontaminationScan(docs, benchMaxId = 8L, dfCap = 10, topK = 5).collect()
+    val byBench = capped.groupBy(_.getLong(0))
+    // the planted copy is rank 1 for bench doc 5 at ratio 1.0
+    val top5 = byBench(5L).minBy(_.getLong(1))
+    assert(top5.getLong(2) == 100L && top5.getDouble(4) == 1.0, s"planted doc must surface: ${top5}")
+    // the boilerplate shingles sit in 60 corpus docs > dfCap ⇒ dropped:
+    // bench doc 3 must NOT report 60 boilerplate matches
+    assert(!byBench.contains(3L), s"DF cap must drop boilerplate-only matches, got ${byBench.get(3L).map(_.mkString(";"))}")
+
+    // uncapped, the boilerplate dominates — the cap is load-bearing
+    val uncapped = TextQueries.decontaminationScan(docs, benchMaxId = 8L, dfCap = Int.MaxValue, topK = 5).collect()
+    assert(uncapped.exists(r => r.getLong(0) == 3L), "without the cap bench doc 3 matches the boilerplate docs")
+  }
+
+  test("connected components: label sum cannot overflow with ids near Long.MAX (ANSI-mode landmine)") {
+    val sp = spark; import sp.implicits._
+    // 6 nodes at ~Long.MAX/1: the Long sum is ~5.5e19 > Long.MAX — the old
+    // sum(label) convergence detector threw ArithmeticException under
+    // Spark 4's default ANSI mode (VERDICT r4 "what's wrong #3")
+    val ids = (0L until 6L).map(i => Long.MaxValue - 1000L + i)
+    val edges = ids.sliding(2).toSeq.flatMap { case Seq(a, b) => Seq((a, b), (b, a)) }
+    val (labels, _, release) = TextQueries.connectedComponents(spark, edges.toDF("node", "nbr"))
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    release()
+    assert(got.size == 6)
+    assert(got.values.forall(_ == ids.min), s"all labels must be the chain min, got $got")
+  }
+
   test("connected components: pointer jumping resolves a 64-chain in O(log n) iterations") {
     val sp = spark; import sp.implicits._
     val n = 64L
