@@ -41,11 +41,18 @@ object Bench {
     // session warm-up (codegen + parquet footer caches) so the first timed
     // query doesn't absorb ~3.5s of one-time session cost
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val names = SparkEntry.queries.keys.toSeq
+    // SPARK_GRAFT_BENCH_ONLY=q43,q39 restricts the run (prefix match) —
+    // for targeted profiling; the driver's full runs leave it unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val queries = only match {
+      case Some(pfx) => SparkEntry.queries.filter { case (n, _) => pfx.exists(n.startsWith) }
+      case None      => SparkEntry.queries
+    }
+    val names = queries.keys.toSeq
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     (1 to reps).foreach { _ =>
-      SparkEntry.queries.foreach { case (name, fn) =>
+      queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -140,4 +140,142 @@ object IterativeWalker {
       .coalesce(spark.sparkContext.defaultParallelism)
       .map(s => WalkRow(s.walkId, s.start, s.path))
   }
+
+  /** Exploded-edge walk state: carries the CURRENT node's out-degree (so a
+    * hop needs no degree lookup) and the RNG-drawn next-edge index the hop's
+    * single join resolves. `nextIdx = -1` marks rows with no pending lookup.
+    */
+  case class StE(
+      walkId: Long,
+      start: Long,
+      path: Array[Long],
+      cur: Long,
+      curDeg: Int,
+      step: Long,
+      alive: Boolean,
+      nextIdx: Int
+  )
+
+  /** Mega-hub-safe walk generation over EXPLODED edges — byte-identical
+    * output to [[generate]] (IterativeWalkerSpec asserts it), different join
+    * shape for a different scale regime.
+    *
+    * [[generate]] joins each live walk against a (src, follows ARRAY) row:
+    * the right shape when degrees are modest, but at a 10^8-degree mega-hub
+    * every walk standing on the hub receives a COPY of the hub's whole
+    * follow array through one shuffle key — O(walks_on_hub × degree)
+    * replicated bytes on one reducer, the exact q43 single-source scenario.
+    *
+    * Here adjacency is (src, idx, dst, dstDeg) — one row per edge, idx =
+    * dst's rank in src's sorted follow list — and the walk state carries
+    * curDeg, so each hop is:
+    *
+    *   1. map: draw continue/stop and nextIdx = genNextIndex(curDeg)
+    *      locally (no lookup — curDeg rode in on the previous hop);
+    *   2. ONE inner-ish equi-join on the COMPOSITE key (cur, nextIdx):
+    *      every live walk matches exactly one edge row, which also carries
+    *      the destination's degree for the next hop.
+    *
+    * A mega-hub's walks therefore spread over min(walks, degree) distinct
+    * (hub, idx) shuffle keys instead of one, and no follow array is ever
+    * materialized or replicated. The cost is the exploded table (|E| skinny
+    * rows — bucketable/cacheable hash(src, idx), reused every hop) and the
+    * one-time dstDeg self-join at build. The crawl engine keeps the array
+    * walker (avg web degree ~50 makes arrays cheaper); the distributed
+    * personalized rank uses THIS path, where the source is a hub by
+    * definition.
+    */
+  def generateExploded(
+      spark: SparkSession,
+      starts: Dataset[Long],
+      adjacency: Dataset[(Long, Array[Long])],
+      round: Long,
+      wave: Int,
+      params: CrawlParams,
+      checkpointEvery: Int = 8
+  ): Dataset[WalkRow] = {
+    import spark.implicits._
+    val p = params
+    val adjDF = adjacency.toDF("src", "follows")
+    val degrees = adjDF.select(col("src"), size(col("follows")).cast("int").as("deg"))
+    // (src, idx, dst, dstDeg): posexplode of the SAME sorted array generate
+    // walks over, so idx ranks agree even with duplicate edges; dstDeg is
+    // resolved once at build (left_outer: a sink node has no degrees row)
+    val edgesIdx = adjDF
+      .select(col("src"), posexplode(col("follows")).as(Seq("idx", "dst")))
+      .join(degrees.select(col("src").as("dst"), col("deg").as("dstDeg")), Seq("dst"), "left_outer")
+      .select(
+        col("src"),
+        col("idx").cast("int").as("idx"),
+        col("dst"),
+        coalesce(col("dstDeg"), lit(0)).as("dstDeg")
+      )
+      // hash(src, idx) IS the per-hop join key: the cached partitioning is
+      // reused by every hop's equi-join (same discipline as generate's
+      // hash(src) adjacency cache)
+      .repartition(col("src"), col("idx"))
+      .persist()
+
+    val startDegs = starts
+      .toDF("node")
+      .join(degrees.select(col("src").as("node"), col("deg")), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("deg"), lit(0)).as("deg"))
+      .as[(Long, Int)]
+    var state: Dataset[StE] = startDegs
+      .flatMap { case (node, deg) =>
+        (0 until p.walksPerNode).iterator.map { i =>
+          StE(node * p.walksPerNode + i, node, Array(node), node, deg, 0L, alive = true, nextIdx = -1)
+        }
+      }
+      // same single-source fan-out spread as initialSegments
+      .repartition(spark.sparkContext.defaultParallelism, col("walkId"))
+      .persist()
+
+    var live = state.filter(_.alive).count()
+    var iter = 0
+    val doneParts = scala.collection.mutable.ArrayBuffer.empty[Dataset[StE]]
+
+    while (live > 0 && iter < params.maxWalkSteps) {
+      doneParts += state.filter(!_.alive).localCheckpoint(true)
+      // decide locally: stop draw and next-edge index need only curDeg
+      val decided = state.filter(_.alive).map { s =>
+        if (!WalkAlgebra.genContinues(p, s.walkId, round, wave, s.step)) {
+          s.copy(step = s.step + 1, alive = false, nextIdx = -1)
+        } else if (s.curDeg == 0) {
+          s.copy(step = s.step + 1, alive = false, nextIdx = -1)
+        } else {
+          s.copy(nextIdx = WalkAlgebra.genNextIndex(p, s.walkId, round, wave, s.step, s.curDeg))
+        }
+      }
+      // rows settled by the decide map carry nextIdx = -1 and match nothing
+      // (idx >= 0), passing through the left join untouched; every live row
+      // matches EXACTLY ONE edge (nextIdx < curDeg by construction)
+      val stepped = decided
+        .joinWith(
+          edgesIdx,
+          decided("cur") === edgesIdx("src") && decided("nextIdx") === edgesIdx("idx"),
+          "left_outer"
+        )
+        .map { case (s, e) =>
+          if (!s.alive) s
+          else {
+            val dst = e.getAs[Long]("dst")
+            if (s.path.contains(dst)) s.copy(step = s.step + 1, alive = false, nextIdx = -1)
+            else StE(s.walkId, s.start, s.path :+ dst, dst, e.getAs[Int]("dstDeg"), s.step + 1, alive = true, nextIdx = -1)
+          }
+        }
+      val next =
+        (if (iter % checkpointEvery == checkpointEvery - 1) stepped.localCheckpoint() else stepped).persist()
+      live = next.filter(_.alive).count()
+      state.unpersist()
+      state = next
+      iter += 1
+    }
+    edgesIdx.unpersist()
+    doneParts += state
+    doneParts
+      .reduce(_ union _)
+      .coalesce(spark.sparkContext.defaultParallelism)
+      .map(s => WalkRow(s.walkId, s.start, s.path))
+  }
 }

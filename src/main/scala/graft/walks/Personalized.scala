@@ -179,7 +179,8 @@ object Personalized {
       edges: org.apache.spark.sql.DataFrame,
       source: Long,
       numWalks: Int,
-      params: CrawlParams
+      params: CrawlParams,
+      explodedMinDegree: Int = 8192
   ): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val adjDS = IterativeWalker.adjacencyTable(
@@ -187,14 +188,21 @@ object Personalized {
       edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
     )
     val p = params.copy(walksPerNode = numWalks)
-    val segs = IterativeWalker.generate(
-      spark,
-      Seq(source).toDS(),
-      adjDS,
-      round = 0L,
-      wave = graft.spec.SequentialSpec.GenWave,
-      p
-    )
+    // Size-aware walker choice (the engine's broadcast/bloom gate
+    // discipline): below the gate the array walker (fewer per-hop stages —
+    // wins at fixture degrees where job latency dominates, and
+    // initialSegments already spreads the fan-out); at a genuine mega-hub
+    // source the EXPLODED-edge walker, whose composite (cur, nextIdx) hop
+    // key spreads the walks over min(numWalks, degree) shuffle keys and
+    // never replicates a follow array. Both produce byte-identical walks
+    // (IterativeWalkerSpec), so the gate changes PLANS, not answers —
+    // PersonalizedSpec pins the equality through this entry point.
+    val srcDeg = adjDS.filter(_._1 == source).map(_._2.length).collect().headOption.getOrElse(0)
+    val wave = graft.spec.SequentialSpec.GenWave
+    val segs =
+      if (srcDeg >= explodedMinDegree)
+        IterativeWalker.generateExploded(spark, Seq(source).toDS(), adjDS, 0L, wave, p)
+      else IterativeWalker.generate(spark, Seq(source).toDS(), adjDS, 0L, wave, p)
     val counts = segs
       .select(explode(col("path")).as("node"))
       .groupBy("node")

@@ -41,5 +41,41 @@ class IterativeWalkerSpec extends AnyFunSuite {
 
     assert(got.size === expected.size)
     assert(got === expected)
+
+    // the exploded-edge walker (composite (cur, nextIdx) hop key — the
+    // mega-hub path q43 rides) must be byte-identical too
+    val gotExploded = IterativeWalker
+      .generateExploded(spark, starts, adjDS, 3L, 15, p)
+      .collect()
+      .map(w => w.walkId -> w.path.toSeq)
+      .toMap
+    assert(gotExploded === expected)
+  }
+
+  test("exploded walker on a mega-hub source: identical walks, hop-1 keys spread over the hub's degree") {
+    import spark.implicits._
+    val p = CrawlParams(alpha = 0.85, walksPerNode = 2000)
+    // one hub (node 0) pointing at 64 spokes, each spoke pointing back at
+    // the next spoke — the single-source personalized-rank shape
+    val edges: Seq[(Long, Long)] =
+      (1L to 64L).map(d => (0L, d)) ++ (1L until 64L).map(i => (i, i + 1))
+    val adjMap = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toArray.sorted }
+    val adjF: WalkAlgebra.Adjacency = v => adjMap.getOrElse(v, Array.empty)
+    val expected = (0 until p.walksPerNode).map { i =>
+      i.toLong -> WalkAlgebra.generateWalk(adjF, 0L, i.toLong, 0L, 7, p).toSeq
+    }.toMap
+
+    val adjDS = IterativeWalker.adjacencyTable(spark, spark.createDataset(edges))
+    val got = IterativeWalker
+      .generateExploded(spark, spark.createDataset(Seq(0L)), adjDS, 0L, 7, p)
+      .collect()
+      .map(w => w.walkId -> w.path.toSeq)
+      .toMap
+    assert(got === expected)
+
+    // the walks' first hops must genuinely use many distinct (hub, idx)
+    // join keys — the skew-spread claim, checked on the data itself
+    val firstHopIdx = expected.values.filter(_.length > 1).map(_.apply(1)).toSet
+    assert(firstHopIdx.size > 16, s"2000 draws over 64 spokes must hit many spokes: ${firstHopIdx.size}")
   }
 }

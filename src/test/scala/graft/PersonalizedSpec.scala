@@ -120,6 +120,14 @@ class PersonalizedSpec extends AnyFunSuite {
         .toSeq
     val r1 = visits()
     assert(r1 === visits(), "distributed personalized rank must be deterministic in (seed, source, numWalks)")
+    // forcing the mega-hub (exploded-edge) walker through the degree gate
+    // must change the PLAN only — identical visit counts
+    val rExploded = Personalized
+      .personalizedDistributed(spark, edges2, 0L, 30000, p, explodedMinDegree = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(rExploded === r1, "exploded-walker path must be byte-identical through the gate")
     val tot = r1.map(_._2).sum.toDouble
     val gotA = Array.tabulate(6)(i => r1.toMap.getOrElse(i.toLong, 0L) / tot)
     assert(l1(gotA, Array(0.54054, 0.22973, 0.22973, 0, 0, 0)) <= 0.02, s"acyclic2 got=${gotA.mkString(",")}")
