@@ -202,7 +202,27 @@ class RoundDriver(
         * is rebuilt (doubled) from `fetched` when the seen set outgrows it.
         */
       var bloomShardCapacity: Long
-  )
+  ) {
+
+    /** Release handle of each table's CURRENT local checkpoint, by key —
+      * Dataset.unpersist cannot release local checkpoints (CacheOps
+      * scaladoc); without these the superseded per-round checkpoints of
+      * every state table linger until the JVM's ContextCleaner notices,
+      * growing storage pressure linearly in rounds run.
+      */
+    val cpRelease: mutable.Map[String, () => Unit] = mutable.Map.empty
+  }
+
+  /** Eagerly re-checkpoint a state table and release the PREVIOUS round's
+    * checkpoint under the same key (strictly after the new one is
+    * materialized — the new value is computed from the old).
+    */
+  private def recp[T](st: State, key: String, ds: Dataset[T]): Dataset[T] = {
+    val (cp, rel) = graft.core.CacheOps.checkpointReleasable(ds)
+    st.cpRelease.get(key).foreach(_())
+    st.cpRelease(key) = rel
+    cp
+  }
 
   private def paramsDF: DataFrame =
     Seq(
@@ -324,13 +344,13 @@ class RoundDriver(
       // resume with visit counts stale back to the last compaction
       else if (io.exists(r, "visits")) visits = io.read(r, "visits")
     }
-    val nodesC = nodes.localCheckpoint(true)
-    val edgesC = edges.localCheckpoint(true)
-    val walksC = walks.as[WalkRow].localCheckpoint(true)
-    val fetchedC = fetched.localCheckpoint(true)
-    val enqueuedC = enqueued.localCheckpoint(true)
-    val leaksC = leaks.localCheckpoint(true)
-    val visitsC = visits.localCheckpoint(true)
+    val (nodesC, nodesR) = graft.core.CacheOps.checkpointReleasable(nodes)
+    val (edgesC, edgesR) = graft.core.CacheOps.checkpointReleasable(edges)
+    val (walksC, walksR) = graft.core.CacheOps.checkpointReleasable(walks.as[WalkRow])
+    val (fetchedC, fetchedR) = graft.core.CacheOps.checkpointReleasable(fetched)
+    val (enqueuedC, enqueuedR) = graft.core.CacheOps.checkpointReleasable(enqueued)
+    val (leaksC, leaksR) = graft.core.CacheOps.checkpointReleasable(leaks)
+    val (visitsC, visitsR) = graft.core.CacheOps.checkpointReleasable(visits)
     val nextId = nodesC.agg(max($"id")).as[Option[Long]].first().getOrElse(-1L) + 1
     val totalWalks = walksC.count()
     val totalEdges = edgesC.count()
@@ -340,12 +360,14 @@ class RoundDriver(
     // rounds maintain it incrementally from the batch). Below the gate: a
     // driver-resident filter of xxhash64(url) longs (broadcast probe).
     // Above it: the sharded bloom table — bits stay on the executors.
+    var shardsR: Option[() => Unit] = None
     val (bloom, bloomCap, shards, shardCap) =
       if (maxDriverBloomUrls == 0 || fetchedCount * 2 > maxDriverBloomUrls) {
         val cap = math.max(fetchedCount * 2 / bloomNumShards, 100000L)
-        val sh = graft.frontier.BloomShards
-          .build(spark, fetchedC, bloomNumShards, cap)
-          .localCheckpoint(true)
+        val (sh, shR) = graft.core.CacheOps.checkpointReleasable(
+          graft.frontier.BloomShards.build(spark, fetchedC, bloomNumShards, cap)
+        )
+        shardsR = Some(shR)
         (None, 0L, Some(sh), cap)
       } else if (fetchedCount == 0)
         (Some(org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)), 100000L, None, 0L)
@@ -363,7 +385,7 @@ class RoundDriver(
           0L
         )
       }
-    State(
+    val st = State(
       nodesC,
       edgesC,
       walksC,
@@ -381,6 +403,17 @@ class RoundDriver(
       shards,
       shardCap
     )
+    st.cpRelease ++= Seq(
+      "nodes" -> nodesR,
+      "edges" -> edgesR,
+      "walks" -> walksR,
+      "fetched" -> fetchedR,
+      "enqueued" -> enqueuedR,
+      "leaks" -> leaksR,
+      "visits" -> visitsR
+    )
+    shardsR.foreach(r => st.cpRelease("seenShards") = r)
+    st
   }
 
   /** Run rounds [lastComplete+1 .. maxRounds]. */
@@ -509,6 +542,9 @@ class RoundDriver(
     val walkEventParts = mutable.ArrayBuffer.empty[DataFrame] // (seq, isAdd, walkId, start, path)
     var enqueuedAdd: Option[DataFrame] = None
     val tmpCaches = mutable.ArrayBuffer.empty[Dataset[_]]
+    // release handles for checkpoint-backed round-temporaries (walker
+    // outputs) — unpersist can't release those, see core.CacheOps
+    val tmpReleases = mutable.ArrayBuffer.empty[() => Unit]
     tmpCaches += batchExtracted
 
     // per-round on-demand adjacency cache over the distributed edges table
@@ -801,27 +837,31 @@ class RoundDriver(
           val p = params
           val r = round
           val gw = GenWave
-          val newWalks =
+          val (newWalks, newWalksRelease) =
             if (st.totalEdges > broadcastMaxEdges) {
-              // scale path: one shuffle join per hop, no driver sub-adjacency
+              // scale path: one shuffle join per hop, no driver sub-adjacency.
+              // The walker returns its output already materialized in one
+              // cache with a release handle — re-persisting it here would
+              // just double the copy
               val adjDS = graft.walks.IterativeWalker.adjacencyTable(
                 spark,
                 st.edges.as[EdgeRow].map(e => (e.src, e.dst))
               )
-              graft.walks.IterativeWalker.generate(spark, promotedDF.select($"id").as[Long], adjDS, r, gw, p)
+              graft.walks.IterativeWalker
+                .generateReleasable(spark, promotedDF.select($"id").as[Long], adjDS, r, gw, p)
             } else {
               // bounded path: resolve only the neighborhood the walks visit
               val promotedIds = promotedDF.select($"id").as[Long].collect().sorted.toSeq
-              SubgraphWalks.generateAll(spark, promotedIds, resolver, r, gw, p)
+              val g = SubgraphWalks.generateAll(spark, promotedIds, resolver, r, gw, p)
+              (g, () => { g.unpersist(); () })
             }
-          val newWalksP = newWalks.persist()
-          tmpCaches += newWalksP
-          st.walks = st.walks.union(newWalksP)
+          tmpReleases += newWalksRelease
+          st.walks = st.walks.union(newWalks)
           st.totalWalks += params.walksPerNode.toLong * promotedCount
           walkEventSeq += 1
-          walkEventParts += newWalksP.toDF
+          walkEventParts += newWalks.toDF
             .select(lit(walkEventSeq).as("seq"), lit(true).as("isAdd"), $"walkId", $"start", $"path")
-          visitDeltaParts += newWalksP.flatMap(w => w.path.map(n => (n, 1L))).toDF("node", "d")
+          visitDeltaParts += newWalks.flatMap(w => w.path.map(n => (n, 1L))).toDF("node", "d")
           st.enqueued = st.enqueued.union(promotedDF.select($"url")).dropDuplicates("url")
           enqueuedAdd = Some(promotedDF.select($"url"))
           nodeUpdateParts += promotedDF
@@ -861,17 +901,17 @@ class RoundDriver(
     val oldWalks = st.walks
     st.walks = phase(round, "rematerialize") {
       val w = if (st.walks.rdd.getNumPartitions > 3 * targetParts) st.walks.coalesce(targetParts) else st.walks
-      w.localCheckpoint(true)
+      recp(st, "walks", w)
     }
     oldWalks.unpersist()
-    st.visits = st.visits.localCheckpoint(true)
+    st.visits = recp(st, "visits", st.visits)
     st.fetchedCount += batchUrls.size
     // small tables: per-round localCheckpoint keeps their plans shallow
     // (status updates add two joins per round — Catalyst replanning of deep
     // chains costs more than materializing these small tables)
-    st.nodes = st.nodes.localCheckpoint(true)
-    st.edges = st.edges.localCheckpoint(true)
-    st.fetched = st.fetched.union(batchUrls.toDF("url")).localCheckpoint(true)
+    st.nodes = recp(st, "nodes", st.nodes)
+    st.edges = recp(st, "edges", st.edges)
+    st.fetched = recp(st, "fetched", st.fetched.union(batchUrls.toDF("url")))
     // incremental seen-bloom upkeep, size-gated: driver filter while small,
     // the distributed sharded table beyond maxDriverBloomUrls (rebuilt
     // doubled from the fetched table when the seen set outgrows it)
@@ -891,7 +931,7 @@ class RoundDriver(
       case Some(_) => // seen set crossed the gate: move the bits off the driver
         val cap = math.max(st.fetchedCount * 2 / bloomNumShards, 100000L)
         st.seenShards = Some(
-          graft.frontier.BloomShards.build(spark, st.fetched, bloomNumShards, cap).localCheckpoint(true)
+          recp(st, "seenShards", graft.frontier.BloomShards.build(spark, st.fetched, bloomNumShards, cap))
         )
         st.bloomShardCapacity = cap
         st.seenBloom = None
@@ -900,19 +940,22 @@ class RoundDriver(
         if (overflow) {
           val cap = math.max(st.fetchedCount * 2 / bloomNumShards, 100000L)
           st.seenShards = Some(
-            graft.frontier.BloomShards.build(spark, st.fetched, bloomNumShards, cap).localCheckpoint(true)
+            recp(st, "seenShards", graft.frontier.BloomShards.build(spark, st.fetched, bloomNumShards, cap))
           )
           st.bloomShardCapacity = cap
         } else {
           st.seenShards = Some(
-            graft.frontier.BloomShards
-              .merge(spark, st.seenShards.get, batchUrls.toDF("url"), bloomNumShards, st.bloomShardCapacity)
-              .localCheckpoint(true)
+            recp(
+              st,
+              "seenShards",
+              graft.frontier.BloomShards
+                .merge(spark, st.seenShards.get, batchUrls.toDF("url"), bloomNumShards, st.bloomShardCapacity)
+            )
           )
         }
     }
-    st.enqueued = st.enqueued.localCheckpoint(true)
-    st.leaks = st.leaks.localCheckpoint(true)
+    st.enqueued = recp(st, "enqueued", st.enqueued)
+    st.leaks = recp(st, "leaks", st.leaks)
     if (promotedCount > 0) st.enqueuedCount = st.enqueued.count()
 
     // ---- per-round delta checkpoint (O(changes), not O(state))
@@ -977,6 +1020,7 @@ class RoundDriver(
     io.commitRound(round)
 
     tmpCaches.foreach(_.unpersist())
+    tmpReleases.foreach(_())
     Some(Trace(round, batchUrls, walksChanged, promotedCount, demotedCount, scanRan, m))
   }
 }

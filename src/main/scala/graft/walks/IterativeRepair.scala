@@ -179,7 +179,16 @@ object IterativeRepair {
         )
       }
       .persist()
+    var stateRelease: () => Unit = { val s = state; () => { s.unpersist(); () } }
     val doneParts = mutable.ArrayBuffer.empty[Dataset[RepSt]]
+    // release handles for every local checkpoint in the drain —
+    // Dataset.unpersist cannot release those (core.CacheOps scaladoc)
+    val releases = mutable.ArrayBuffer.empty[() => Unit]
+    def checkpointTracked(ds: Dataset[RepSt]): Dataset[RepSt] = {
+      val (cp, rel) = graft.core.CacheOps.checkpointReleasable(ds)
+      releases += rel
+      cp
+    }
     // cached WITH hash(src) partitioning so the per-hop equi-join reuses it
     // instead of re-exchanging the full adjacency every hop
     val adjDF = adjacency.toDF("src", "follows").repartition(col("src")).persist()
@@ -187,7 +196,7 @@ object IterativeRepair {
     var live = state.filter(_.segActive).count()
     var iter = 0
     while (live > tailThreshold) {
-      doneParts += state.filter(!_.segActive).localCheckpoint(true)
+      doneParts += checkpointTracked(state.filter(!_.segActive))
       val active = state.filter(_.segActive)
       val stepped = active
         .joinWith(adjDF, active("cur") === adjDF("src"), "left_outer")
@@ -197,21 +206,23 @@ object IterativeRepair {
             else adjRow.getAs[scala.collection.Seq[Long]]("follows").toArray
           stepSegment(s, follows, bDeltas.value, r, wv, p)
         }
-      val next =
-        (if (iter % checkpointEvery == checkpointEvery - 1) stepped.localCheckpoint() else stepped).persist()
+      val (next, nextRelease) =
+        if (iter % checkpointEvery == checkpointEvery - 1) graft.core.CacheOps.checkpointReleasable(stepped)
+        else { val n = stepped.persist(); (n, () => { n.unpersist(); () }) }
       live = next.filter(_.segActive).count()
-      state.unpersist()
+      stateRelease()
       state = next
+      stateRelease = nextRelease
       iter += 1
     }
-    doneParts += state.filter(!_.segActive).localCheckpoint(true)
+    doneParts += checkpointTracked(state.filter(!_.segActive))
 
     // geometric-tail drain: the few remaining segments finish against
     // resolver point-lookups (driver memory O(tail × segment length)),
     // with the same miss-retry determinism as SubgraphWalks
     if (live > 0) {
-      var tail: Dataset[RepSt] = state.filter(_.segActive).localCheckpoint(true)
-      state.unpersist()
+      var tail: Dataset[RepSt] = checkpointTracked(state.filter(_.segActive))
+      stateRelease()
       resolver.resolve(tail.map(_.cur).distinct().collect().toIndexedSeq)
       var drained = false
       var attempt = 0
@@ -230,7 +241,7 @@ object IterativeRepair {
           .persist()
         caches += out
         val misses = out.filter(_._2 >= 0L).map(_._2).distinct().collect()
-        doneParts += out.filter(_._2 < 0L).map(_._1).localCheckpoint(true)
+        doneParts += checkpointTracked(out.filter(_._2 < 0L).map(_._1))
         if (misses.isEmpty) drained = true
         else {
           attempt += 1
@@ -239,7 +250,7 @@ object IterativeRepair {
         }
       }
     } else {
-      state.unpersist()
+      stateRelease()
     }
 
     val changed = doneParts
@@ -251,7 +262,11 @@ object IterativeRepair {
       .map(st => (WalkRow(st.walkId, st.start, st.path), st.origPath))
       .persist()
     val n = changed.count()
+    // `changed` is a MEMORY_AND_DISK CacheManager cache and just
+    // materialized — every drain slice and checkpoint can be released NOW
+    // instead of at the JVM GC's leisure
     caches.foreach(_.unpersist())
+    releases.foreach(_())
     (changed, n)
   }
 }

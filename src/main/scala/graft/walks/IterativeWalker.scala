@@ -69,6 +69,8 @@ object IterativeWalker {
 
   /** Generate `walksPerNode` walks per start node. `starts` carries
     * (nodeId); walkIds are nodeId*walksPerNode+i as everywhere else.
+    * Convenience form of [[generateReleasable]] that keeps the output cache
+    * alive for the caller (ContextCleaner reclaims it when unreachable).
     */
   def generate(
       spark: SparkSession,
@@ -78,14 +80,36 @@ object IterativeWalker {
       wave: Int,
       params: CrawlParams,
       checkpointEvery: Int = 8
-  ): Dataset[WalkRow] = {
+  ): Dataset[WalkRow] =
+    generateReleasable(spark, starts, adjacency, round, wave, params, checkpointEvery)._1
+
+  /** [[generate]], returning the materialized walks PLUS the release handle
+    * of their (single) cache — every intermediate drain cache was already
+    * released inside. Long-lived callers (the round loop) release the
+    * output deterministically once it is folded into their own state.
+    */
+  def generateReleasable(
+      spark: SparkSession,
+      starts: Dataset[Long],
+      adjacency: Dataset[(Long, Array[Long])],
+      round: Long,
+      wave: Int,
+      params: CrawlParams,
+      checkpointEvery: Int = 8
+  ): (Dataset[WalkRow], () => Unit) = {
     import spark.implicits._
     val p = params
     var state: Dataset[St] = initialSegments(spark, starts, p).persist()
+    var stateRelease: () => Unit = { val s = state; () => { s.unpersist(); () } }
 
     var live = state.filter(_.alive).count()
     var iter = 0
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[Dataset[St]]
+    // release handles for every local checkpoint taken in the drain —
+    // Dataset.unpersist cannot release those (CacheOps scaladoc), and
+    // leaving one orphaned slice cache per hop is exactly the storage
+    // pressure a long-lived bench/engine JVM cannot afford
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
     // the adjacency aggregation (edges → groupByKey → sort) is hop-invariant:
     // materialize it ONCE for the whole drain instead of re-running the
@@ -102,7 +126,9 @@ object IterativeWalker {
       // dependence on `state` so the superseded cache can be released —
       // otherwise cached partitions pile up across up to maxWalkSteps
       // iterations and pressure executor storage memory
-      doneParts += state.filter(!_.alive).localCheckpoint(true)
+      val (slice, sliceRelease) = graft.core.CacheOps.checkpointReleasable(state.filter(!_.alive))
+      doneParts += slice
+      releases += sliceRelease
       val stepped = liveDS
         .joinWith(adjDF, liveDS("cur") === adjDF("src"), "left_outer")
         .map { case (s, adjRow) =>
@@ -121,24 +147,38 @@ object IterativeWalker {
             }
           }
         }
-      val next =
-        (if (iter % checkpointEvery == checkpointEvery - 1) stepped.localCheckpoint() else stepped).persist()
+      // lineage cut every checkpointEvery hops (plan depth stays bounded);
+      // plain persist otherwise
+      val (next, nextRelease) =
+        if (iter % checkpointEvery == checkpointEvery - 1) graft.core.CacheOps.checkpointReleasable(stepped)
+        else { val n = stepped.persist(); (n, () => { n.unpersist(); () }) }
       live = next.filter(_.alive).count()
-      state.unpersist() // superseded; settled slice is checkpointed above
+      // superseded: its settled slice was copied out eagerly and `next` was
+      // just materialized by the count
+      stateRelease()
       state = next
+      stateRelease = nextRelease
       iter += 1
     }
     // every surviving slice is checkpointed or cache-materialized by the
     // per-iteration count, so the adjacency cache can be released here
     adjDF.unpersist()
     doneParts += state
-    doneParts
-      .reduce(_ union _)
-      // the union carries one slice per drain iteration (tens of slices ×
-      // shuffle partitions each) — coalesce so every downstream job over
-      // the generated walks schedules O(cores) tasks, not O(hops × cores)
-      .coalesce(spark.sparkContext.defaultParallelism)
-      .map(s => WalkRow(s.walkId, s.start, s.path))
+    val (out, outRelease) = graft.core.CacheOps.checkpointReleasable(
+      doneParts
+        .reduce(_ union _)
+        // the union carries one slice per drain iteration (tens of slices ×
+        // shuffle partitions each) — coalesce so every downstream job over
+        // the generated walks schedules O(cores) tasks, not O(hops × cores)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .map(s => WalkRow(s.walkId, s.start, s.path))
+    )
+    // the finished walks are materialized in ONE cache (the caller's,
+    // released via the returned handle); every per-hop slice and superseded
+    // state cache is released NOW, not at JVM GC's leisure
+    releases.foreach(_())
+    stateRelease()
+    (out, outRelease)
   }
 
   /** Exploded-edge walk state: carries the CURRENT node's out-degree (so a
@@ -193,7 +233,21 @@ object IterativeWalker {
       wave: Int,
       params: CrawlParams,
       checkpointEvery: Int = 8
-  ): Dataset[WalkRow] = {
+  ): Dataset[WalkRow] =
+    generateExplodedReleasable(spark, starts, adjacency, round, wave, params, checkpointEvery)._1
+
+  /** [[generateExploded]] with the output cache's release handle (see
+    * [[generateReleasable]]).
+    */
+  def generateExplodedReleasable(
+      spark: SparkSession,
+      starts: Dataset[Long],
+      adjacency: Dataset[(Long, Array[Long])],
+      round: Long,
+      wave: Int,
+      params: CrawlParams,
+      checkpointEvery: Int = 8
+  ): (Dataset[WalkRow], () => Unit) = {
     import spark.implicits._
     val p = params
     val adjDF = adjacency.toDF("src", "follows")
@@ -231,12 +285,16 @@ object IterativeWalker {
       .repartition(spark.sparkContext.defaultParallelism, col("walkId"))
       .persist()
 
+    var stateRelease: () => Unit = { val s = state; () => { s.unpersist(); () } }
     var live = state.filter(_.alive).count()
     var iter = 0
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[Dataset[StE]]
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
     while (live > 0 && iter < params.maxWalkSteps) {
-      doneParts += state.filter(!_.alive).localCheckpoint(true)
+      val (slice, sliceRelease) = graft.core.CacheOps.checkpointReleasable(state.filter(!_.alive))
+      doneParts += slice
+      releases += sliceRelease
       // decide locally: stop draw and next-edge index need only curDeg
       val decided = state.filter(_.alive).map { s =>
         if (!WalkAlgebra.genContinues(p, s.walkId, round, wave, s.step)) {
@@ -264,18 +322,25 @@ object IterativeWalker {
             else StE(s.walkId, s.start, s.path :+ dst, dst, e.getAs[Int]("dstDeg"), s.step + 1, alive = true, nextIdx = -1)
           }
         }
-      val next =
-        (if (iter % checkpointEvery == checkpointEvery - 1) stepped.localCheckpoint() else stepped).persist()
+      val (next, nextRelease) =
+        if (iter % checkpointEvery == checkpointEvery - 1) graft.core.CacheOps.checkpointReleasable(stepped)
+        else { val n = stepped.persist(); (n, () => { n.unpersist(); () }) }
       live = next.filter(_.alive).count()
-      state.unpersist()
+      stateRelease()
       state = next
+      stateRelease = nextRelease
       iter += 1
     }
     edgesIdx.unpersist()
     doneParts += state
-    doneParts
-      .reduce(_ union _)
-      .coalesce(spark.sparkContext.defaultParallelism)
-      .map(s => WalkRow(s.walkId, s.start, s.path))
+    val (out, outRelease) = graft.core.CacheOps.checkpointReleasable(
+      doneParts
+        .reduce(_ union _)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .map(s => WalkRow(s.walkId, s.start, s.path))
+    )
+    releases.foreach(_())
+    stateRelease()
+    (out, outRelease)
   }
 }
