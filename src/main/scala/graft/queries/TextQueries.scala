@@ -609,6 +609,27 @@ object TextQueries {
       .distinct()
   }
 
+  /** Exact shingle-Jaccard for an arbitrary (doc_a, doc_b) candidate table.
+    * `docs` only needs to cover the docs that appear in `cand` — callers
+    * probing an incremental corpus (StreamDedup) pass just the candidate
+    * docs so the verify stays O(candidates), not O(corpus).
+    */
+  private[graft] def jaccardVerify(docs: DataFrame, cand: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+      .withColumn("ii", coalesce(col("i"), lit(0L)))
+      .withColumn("jaccard", col("ii").cast("double") / (col("sza") + col("szb") - col("ii")))
+  }
+
   /** Verified near-dup pairs: LSH candidates with exact shingle-Jaccard.
     * Dropped oversize buckets are logged when GRAFT_LSH_LOG=1 (the log
     * costs one extra signature pass, so it is opt-in for the bench path;
@@ -623,20 +644,7 @@ object TextQueries {
             dropped.take(5).map(r => s"(band=${r.getInt(0)}, n=${r.getLong(2)})").mkString(", ")
         )
     }
-    val sh = shingles(docs)
-    val cand = candidatePairs(docs, maxBucket)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("i"))
-    cand
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
-      .withColumn("ii", coalesce(col("i"), lit(0L)))
-      .withColumn("jaccard", col("ii").cast("double") / (col("sza") + col("szb") - col("ii")))
+    jaccardVerify(docs, candidatePairs(docs, maxBucket))
   }
 
   private val shingleSqlPrefix: String =
@@ -1032,6 +1040,60 @@ object TextQueries {
        |SELECT bench_id, CAST(rn AS BIGINT) AS rn, doc_id, n_common, overlap_r
        |FROM r WHERE rn <= 5 ORDER BY bench_id, rn""".stripMargin
 
+  /** q49 — streaming incremental LSH dedup, batch-mode replay: the
+    * documents table arrives in 3 deterministic micro-batches (doc_id mod
+    * 3) and each batch's near-dup pairs are detected incrementally against
+    * the postings of the batches before it (StreamDedup.dedupBatch — the
+    * SAME function the foreachBatch runner executes; StreamDedupSpec pins
+    * the replay against a real multi-micro-batch stream). The union of the
+    * per-batch emissions equals the batch q33 pipeline's verified pair set
+    * whenever no band bucket exceeds the cap (guaranteed at oracle scale:
+    * fewer total docs than the cap), so the q33 DuckDB oracle pins the
+    * incremental path value-level.
+    */
+  def q49StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val docs = t(dir, "documents").select("doc_id", "text")
+    var postings: Option[DataFrame] = None
+    var seen: Option[DataFrame] = None
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val emitted = (0 until 3).map { k =>
+      val chunk = docs.filter(pmod(col("doc_id"), lit(3)) === k)
+      val (pairs, np, relBatch) = graft.streaming.StreamDedup.dedupBatch(spark, chunk, postings, seen)
+      releases += relBatch
+      // materialize the accumulated state once per micro-batch (the role the
+      // streaming runner's parquet write plays) so later batches never
+      // recompute earlier batches' signatures; released once the emissions
+      // are drained below
+      val (postCp, rp) = graft.core.CacheOps.checkpointReleasable(
+        postings.map(_.unionByName(np)).getOrElse(np)
+      )
+      val (seenCp, rs) = graft.core.CacheOps.checkpointReleasable(
+        seen.map(_.unionByName(chunk)).getOrElse(chunk)
+      )
+      releases += rp += rs
+      postings = Some(postCp)
+      seen = Some(seenCp)
+      pairs
+    }
+    val out = emitted.reduce(_ unionByName _)
+    // same drain-then-release discipline as q34: emissions are O(capped
+    // candidates); collect when small, otherwise keep a single O(pairs)
+    // checkpoint alive and free every intermediate either way
+    val (outCp, releaseOut) = graft.core.CacheOps.checkpointReleasable(out)
+    if (outCp.count() <= 2000000L) {
+      val rows = outCp.as[(Long, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2))
+      releases.foreach(_())
+      releaseOut()
+      spark.createDataset(rows.toIndexedSeq).toDF("doc_a", "doc_b", "jaccard_r", "is_dup")
+    } else {
+      releases.foreach(_())
+      outCp.orderBy("doc_a", "doc_b")
+    }
+  }
+  val q49Sql: String = q33Sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> q18DedupExact _,
     "q19_token_count" -> q19TokenCount _,
@@ -1053,7 +1115,8 @@ object TextQueries {
     "q45_regex_tokens" -> q45RegexTokens _,
     "q46_batch_ann" -> q46BatchAnn _,
     "q47_decontamination" -> q47Decontamination _,
-    "q48_indexed_search" -> q48IndexedSearch _
+    "q48_indexed_search" -> q48IndexedSearch _,
+    "q49_stream_dedup" -> q49StreamDedup _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1077,6 +1140,7 @@ object TextQueries {
     "q45_regex_tokens" -> q45Sql,
     "q46_batch_ann" -> q46Sql,
     "q47_decontamination" -> q47Sql,
-    "q48_indexed_search" -> q48Sql
+    "q48_indexed_search" -> q48Sql,
+    "q49_stream_dedup" -> q49Sql
   )
 }
