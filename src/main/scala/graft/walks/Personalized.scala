@@ -197,7 +197,11 @@ object Personalized {
     // never replicates a follow array. Both produce byte-identical walks
     // (IterativeWalkerSpec), so the gate changes PLANS, not answers —
     // PersonalizedSpec pins the equality through this entry point.
-    val srcDeg = adjDS.filter(_._1 == source).map(_._2.length).collect().headOption.getOrElse(0)
+    // gate probe on the EDGES table (column filter → parquet pushdown, no
+    // shuffle) — probing adjDS would re-run the full-graph groupByKey
+    // aggregation a second time just to read one node's degree (the drain
+    // builds and caches its own copy)
+    val srcDeg = edges.filter(col("src") === source).count()
     val wave = graft.spec.SequentialSpec.GenWave
     val segs =
       if (srcDeg >= explodedMinDegree)
