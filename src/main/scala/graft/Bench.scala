@@ -70,10 +70,12 @@ object Bench {
       kv.map { case (k, v) => s"\"" + k + "\":" + v.map(fmt).getOrElse("null") }.mkString("{", ",", "}")
     val med = names.map(n => n -> value(n))
     val spread = names.map(n => n -> spreadOf(n))
-    val total = med.flatMap(_._2).sum
+    // any failure voids the headline total — summing only the surviving
+    // queries would make the benchmark IMPROVE whenever a query crashes
+    val total = if (failed.nonEmpty) "null" else fmt(med.flatMap(_._2).sum)
     val failedJs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"failed":$failedJs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedJs,""" +
         s""""queries":${js(med)},"queries_spread":${js(spread)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),

@@ -19,6 +19,29 @@ import graft.round.{CrawlEngine, ParquetTableIO, RoundDriver}
   */
 object CrawlMain {
 
+  /** Legacy (pre-marker) extracted-store adoption check: the store must
+    * hold exactly the requested corpus — a distinct-url count pins the
+    * SIZE and an order-independent url-set checksum against the generator
+    * (PagesGen.urlOf is a pure function of cfg, including seed and host
+    * count via the host assignment) pins the CONTENT. One-time O(pages)
+    * cost at adoption. The checksum sums as decimal(38,0): 10^10 urls of
+    * Long hashes would overflow a Long sum under ANSI mode.
+    */
+  private[graft] def legacyStoreMatches(
+      spark: SparkSession,
+      stored: org.apache.spark.sql.DataFrame,
+      cfg: PagesGen.Config
+  ): Boolean = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    val storedUrls = stored.select("url").distinct()
+    if (storedUrls.count() != cfg.pages.toLong) return false
+    def chk(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.select(sum(xxhash64(col("url")).cast("decimal(38,0)"))).collect().head.getDecimal(0)
+    val expected = spark.range(0, cfg.pages.toLong).map(pid => PagesGen.urlOf(cfg, pid)).toDF("url")
+    chk(storedUrls).compareTo(chk(expected)) == 0
+  }
+
   /** `rank` subcommand: personalized PageRank for a source node over a
     * crawl checkpoint (reference `pagerank.Personalized`). Prints the top-k
     * visited nodes as one JSON line. Mode `splice` (default) mirrors the
@@ -125,12 +148,12 @@ object CrawlMain {
           // legacy state dir (pre-marker): sanity-check the stored
           // extraction against the requested corpus BEFORE adopting —
           // stamping the marker blind would bypass the mismatch guard on
-          // exactly the dirs it cannot check. The extraction is one row per
-          // generated page, so a distinct-url count pins the corpus size.
-          val storedPages = io.read(0L, "extracted").select("url").distinct().count()
+          // exactly the dirs it cannot check (size AND content pinned; see
+          // legacyStoreMatches)
           require(
-            storedPages == cfg.pages.toLong,
-            s"extracted store at $stateDir holds $storedPages urls but scale=${args(0)} expects ${cfg.pages} — " +
+            legacyStoreMatches(spark, io.read(0L, "extracted"), cfg),
+            s"extracted store at $stateDir does not match the scale=${args(0)} corpus " +
+              s"(pages=${cfg.pages}, hosts=${cfg.hosts}) by url count or url-set checksum — " +
               "refusing to adopt a legacy store from a different corpus; use a fresh state dir"
           )
           io.write(0L, "extracted_cfg", cfgDF) // verified: adopt

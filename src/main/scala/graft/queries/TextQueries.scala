@@ -969,7 +969,9 @@ object TextQueries {
   def q48IndexedSearch(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val path = TrigramIndex.defaultPath(dir)
-    if (!TrigramIndex.exists(spark, path)) TrigramIndex.build(spark, t(dir, "documents"), path)
+    val stamp = TrigramIndex.corpusFingerprint(spark, s"$dir/documents.parquet")
+    if (!TrigramIndex.current(spark, path, stamp))
+      TrigramIndex.build(spark, t(dir, "documents"), path, corpusStamp = stamp)
     TrigramIndex.search(spark, path, searchQueryText(dir), topK = 10)
   }
   val q48Sql: String = q44Sql

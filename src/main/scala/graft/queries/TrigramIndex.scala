@@ -70,10 +70,37 @@ object TrigramIndex {
   private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
-  /** One-time index pass: write the postings of `docs` at `path`. */
-  def build(spark: SparkSession, docs: DataFrame, path: String, buckets: Int = 32): Unit = {
+  /** Fingerprint of a parquet corpus dir (file count, total bytes, max
+    * mtime — one listStatus, no data read): stored in the index props so a
+    * corpus regenerated in place invalidates the index instead of serving
+    * postings of the previous corpus.
+    */
+  def corpusFingerprint(spark: SparkSession, corpusPath: String): String = {
+    val f = fs(spark, corpusPath)
+    val p = new org.apache.hadoop.fs.Path(corpusPath)
+    if (!f.exists(p)) "absent"
+    else {
+      val files = f.listStatus(p).filter(_.isFile)
+      val maxM = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
+      s"${files.length}:${files.map(_.getLen).sum}:$maxM"
+    }
+  }
+
+  /** One-time index pass: write the postings of `docs` at `path`.
+    * `corpusStamp` (a [[corpusFingerprint]]) is recorded beside the bucket
+    * count; [[current]] validates it before serving the index.
+    */
+  def build(spark: SparkSession, docs: DataFrame, path: String, buckets: Int = 32, corpusStamp: String = ""): Unit = {
     val tbl = tableName(path)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // a build that crashed between saveAsTable and the props marker leaves
+    // a non-empty markerless location, and Spark 4 CTAS refuses non-empty
+    // locations — clear the dir first (the props marker is the only
+    // visibility contract, so deleting an unmarked dir never loses a
+    // servable index)
+    val loc = new org.apache.hadoop.fs.Path(path)
+    val f0 = fs(spark, path)
+    if (f0.exists(loc)) f0.delete(loc, true)
     postingsOf(docs)
       .write
       .mode("overwrite")
@@ -84,12 +111,25 @@ object TrigramIndex {
       .saveAsTable(tbl)
     val props = new java.util.Properties()
     props.setProperty("buckets", buckets.toString)
+    props.setProperty("corpus", corpusStamp)
     val out = fs(spark, path).create(propsPath(path), true)
     try props.store(out, "graft trigram index") finally out.close()
   }
 
   /** True iff a built index exists at `path` (props marker present). */
   def exists(spark: SparkSession, path: String): Boolean = fs(spark, path).exists(propsPath(path))
+
+  /** True iff a built index exists at `path` AND was built from a corpus
+    * with this fingerprint — callers rebuild on mismatch instead of
+    * serving a stale index for a corpus regenerated in place.
+    */
+  def current(spark: SparkSession, path: String, corpusStamp: String): Boolean = {
+    if (!exists(spark, path)) return false
+    val props = new java.util.Properties()
+    val in = fs(spark, path).open(propsPath(path))
+    try props.load(in) finally in.close()
+    props.getProperty("corpus", "") == corpusStamp
+  }
 
   /** The postings table, re-registered in a fresh catalog from the on-disk
     * marker (bucket count validated; LOCATION quote-escaped — same

@@ -762,8 +762,14 @@ class RoundDriver(
         .drop("lid")
       if (leakedActive.nonEmpty) {
         val laDF = broadcast(spark.createDataset(leakedActive).toDF("lid"))
-        val removed = st.walks.join(laDF, st.walks("start") === col("lid"), "left_semi").as[WalkRow].persist()
-        tmpCaches += removed
+        // EAGER checkpoint, not a lazy persist: `removed` is consumed (visit
+        // deltas, walk-event log) only after the rematerialize step below
+        // releases the walks checkpoint it reads from — a lazy cache would
+        // recompute from a released local checkpoint (no lineage) and crash
+        val (removed, relRemoved) = graft.core.CacheOps.checkpointReleasable(
+          st.walks.join(laDF, st.walks("start") === col("lid"), "left_semi").as[WalkRow]
+        )
+        tmpReleases += relRemoved
         visitDeltaParts += removed.flatMap(w => w.path.map(n => (n, -1L))).toDF("node", "d")
         walkEventSeq += 1
         walkEventParts += removed.toDF
@@ -820,8 +826,11 @@ class RoundDriver(
         val promotedDF = rankedNodes.filter($"transition" === "promote").select($"id", $"url")
 
         if (demotedCount > 0) {
-          val removed = st.walks.join(demotedDF, st.walks("start") === demotedDF("id"), "left_semi").as[WalkRow].persist()
-          tmpCaches += removed
+          // eager checkpoint for the same reason as the leak path above
+          val (removed, relRemoved) = graft.core.CacheOps.checkpointReleasable(
+            st.walks.join(demotedDF, st.walks("start") === demotedDF("id"), "left_semi").as[WalkRow]
+          )
+          tmpReleases += relRemoved
           visitDeltaParts += removed.flatMap(w => w.path.map(n => (n, -1L))).toDF("node", "d")
           walkEventSeq += 1
           walkEventParts += removed.toDF

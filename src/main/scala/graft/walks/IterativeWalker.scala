@@ -250,7 +250,11 @@ object IterativeWalker {
   ): (Dataset[WalkRow], () => Unit) = {
     import spark.implicits._
     val p = params
-    val adjDF = adjacency.toDF("src", "follows")
+    // the adjacency aggregation feeds THREE build-time derivations (the
+    // posexplode side, the dstDeg side of the edgesIdx join, startDegs) —
+    // cache it for the build so the full-graph groupByKey runs once, and
+    // release it before the drain (edgesIdx is the only table the hops use)
+    val adjDF = adjacency.toDF("src", "follows").persist()
     val degrees = adjDF.select(col("src"), size(col("follows")).cast("int").as("deg"))
     // (src, idx, dst, dstDeg): posexplode of the SAME sorted array generate
     // walks over, so idx ranks agree even with duplicate edges; dstDeg is
@@ -286,7 +290,9 @@ object IterativeWalker {
       .persist()
 
     var stateRelease: () => Unit = { val s = state; () => { s.unpersist(); () } }
-    var live = state.filter(_.alive).count()
+    var live = state.filter(_.alive).count() // materializes state (and adjDF)
+    edgesIdx.count() // materialize from the adjDF cache before dropping it
+    adjDF.unpersist()
     var iter = 0
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[Dataset[StE]]
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]

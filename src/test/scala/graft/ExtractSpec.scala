@@ -79,4 +79,17 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.tooBig(Array[Byte](1), Extract.MaxOutlinks + 1))
     assert(!Extract.tooBig(Array[Byte](1), 10))
   }
+
+  test("legacy store adoption pins corpus content, not just size") {
+    // a stored extraction from the Tiny corpus matches Tiny...
+    val stored = graft.round.CrawlEngine
+      .extractPages(spark, PagesGen.generate(spark, PagesGen.Tiny, partitions = 4).toDF)
+    assert(graft.app.CrawlMain.legacyStoreMatches(spark, stored, PagesGen.Tiny))
+    // ...but NOT a same-page-count corpus from a different seed or host
+    // config (the silent-adopt gap the count-only check left open), nor a
+    // different size
+    assert(!graft.app.CrawlMain.legacyStoreMatches(spark, stored, PagesGen.Tiny.copy(seed = 43L)))
+    assert(!graft.app.CrawlMain.legacyStoreMatches(spark, stored, PagesGen.Tiny.copy(hosts = 7)))
+    assert(!graft.app.CrawlMain.legacyStoreMatches(spark, stored, PagesGen.Small))
+  }
 }
