@@ -1096,6 +1096,183 @@ object TextQueries {
   }
   val q49Sql: String = q33Sql
 
+  /** Word n-grams of the tokenized doc (`ws`), 1-based positions, capped at
+    * [[NGramPrefixCap]] positions — the same indexing-prefix bound as q44's
+    * trigrams, mirrored in the oracles' `least(...)`, so a pathological
+    * mega-document bounds its per-row explode instead of dominating a task.
+    * Callers must guarantee `size(ws) >= n` (Spark's `sequence(1, k)` turns
+    * DESCENDING for k < 1, unlike DuckDB's empty `range`).
+    */
+  private[graft] val NGramPrefixCap = 5000
+  private def wordGrams(n: Int): Column = {
+    val parts = (0 until n).map(j => s"element_at(ws, i + $j)").mkString(", ' ', ")
+    expr(s"transform(sequence(1, least(size(ws) - ${n - 1}, $NGramPrefixCap)), i -> concat($parts))")
+  }
+
+  /** q50 — repetition quality signals (the Gopher-rule family: Rae et al.
+    * 2021 §A1.1 filters on most-common-2-gram and duplicate-n-gram
+    * fractions; occurrence-fraction form here). Two signals per doc:
+    * `top2gram_frac` (occurrences of the doc's most frequent word 2-gram /
+    * total 2-grams — boilerplate repeats one phrase) and `dup3gram_frac`
+    * (fraction of 3-gram occurrences beyond each gram's first — template
+    * churn). dup3 is PER-ROW NATIVE (array_distinct on the gram array — no
+    * shuffle); top2 needs per-gram counts, one explode into a partially
+    * aggregated (doc_id, gram) count — keys are doc-unique so the shuffle
+    * is skew-free by construction. Flag thresholds documented inline and
+    * mirrored unrounded in the oracle.
+    */
+  def q50Repetition(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    repetitionSignals(t(dir, "documents"))
+  }
+
+  /** Core of q50 over any (doc_id, text) frame — spec-testable with planted
+    * repetitive docs (the corpus fixtures are word soup and never trip the
+    * flags, so the flag semantics are pinned by RepetitionSpec instead).
+    */
+  private[graft] def repetitionSignals(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val d3 = docs
+      .select(col("doc_id"), wordGrams(3).as("g3"))
+      .select(
+        col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")).cast("double")).as("dup3")
+      )
+    val top2 = docs
+      .select(col("doc_id"), explode(wordGrams(2)).as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("top_n"), sum(col("n")).as("tot"))
+      .select(col("doc_id"), (col("top_n").cast("double") / col("tot").cast("double")).as("top2"))
+    d3.join(top2, "doc_id")
+      .select(
+        col("doc_id"),
+        round(col("top2"), 4).as("top2gram_frac"),
+        round(col("dup3"), 4).as("dup3gram_frac"),
+        // Gopher-shaped gates: one dominant phrase (>20% of 2-grams) or
+        // heavy 3-gram recycling (>40% repeat occurrences)
+        (col("top2") > 0.2 || col("dup3") > 0.4).as("flagged")
+      )
+      .orderBy("doc_id")
+  }
+  val q50Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |w3 AS (SELECT * FROM w WHERE len(ws) >= 3),
+       |d3 AS (SELECT doc_id,
+       |              1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup3
+       |       FROM (SELECT doc_id,
+       |                    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                     FOR i IN range(1, least(len(ws) - 1, ${NGramPrefixCap + 1}))] AS g3
+       |             FROM w3)),
+       |g2 AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+       |                              FOR i IN range(1, least(len(ws), ${NGramPrefixCap + 1}))]) AS g
+       |       FROM w3),
+       |c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+       |t2 AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top2 FROM c2 GROUP BY 1)
+       |SELECT doc_id,
+       |       CAST(round(top2, 4) AS DOUBLE) AS top2gram_frac,
+       |       CAST(round(dup3, 4) AS DOUBLE) AS dup3gram_frac,
+       |       top2 > 0.2 OR dup3 > 0.4 AS flagged
+       |FROM d3 JOIN t2 USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q51 — deterministic content-hash train/val/test split: bucket =
+    * first-4-hex-chars of md5(text) as an integer mod 100 (the md5 parity
+    * trick, see the object Scaladoc), 90/5/5 assignment. Content-hashed
+    * splits are the reproducible-pipeline staple: re-runs, re-shards, and
+    * incremental ingests all land a doc in the SAME split with zero
+    * coordination state, and exact duplicates land together (no train/test
+    * leakage through copies). Per (source, split) accounting — one
+    * skew-free 15-key aggregation; the assignment itself is a pure
+    * projection that fuses into any downstream scan.
+    */
+  def q51HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    hashSplit(t(dir, "documents"))
+  }
+
+  /** Core of q51 over any (doc_id, text, source, n_chars) frame. */
+  private[graft] def hashSplit(documents: DataFrame): DataFrame = {
+    val bucket = (conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10).cast("long") % 100).as("b")
+    documents
+      .select(col("doc_id"), col("source"), col("n_chars"), bucket)
+      .withColumn("split", when(col("b") < 90, "train").when(col("b") < 95, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"), min(col("doc_id")).as("first_doc"))
+      .orderBy("source", "split")
+  }
+  val q51Sql: String =
+    """WITH s AS (SELECT *, CAST('0x' || substring(md5(text), 1, 4) AS BIGINT) % 100 AS b FROM documents)
+      |SELECT source,
+      |       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS first_doc
+      |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  /** q52 — quality-filter cascade with drop accounting: the corpus-curation
+    * front door (FineWeb/CCNet shape) — an ordered rule chain where each
+    * doc gets its FIRST failing rule as the drop reason (`kept` if none),
+    * then per-reason counts so a pipeline run reports exactly where its
+    * volume went. Rules reuse the signals of q20 (length, diversity), q50
+    * (3-gram repetition, per-row form), and q21 (language heuristic); the
+    * whole cascade is one pure projection (no UDFs, codegen-fused with the
+    * scan) plus a 6-key aggregation. dup3 guards size(ws) < 3 explicitly —
+    * Spark's `sequence(1, k)` turns descending for k < 1.
+    */
+  def q52FilterCascade(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    filterCascade(t(dir, "documents"))
+  }
+
+  /** Core of q52 over any (doc_id, text) frame — spec-testable with docs
+    * planted to hit each rule (and the first-failing-rule ordering).
+    */
+  private[graft] def filterCascade(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"), split(col("text"), " ").as("ws"))
+    val dup3 = when(
+      size(col("ws")) >= 3, {
+        val g3 = wordGrams(3)
+        lit(1.0) - size(array_distinct(g3)).cast("double") / size(g3).cast("double")
+      }
+    ).otherwise(lit(0.0))
+    val verdict = when(col("len") < 100, "too_short")
+      .when(col("len") > 2000, "too_long")
+      .when(size(array_distinct(col("ws"))).cast("double") / size(col("ws")).cast("double") < 0.3, "low_diversity")
+      .when(dup3 > 0.5, "repetitive")
+      .when(
+        !(col("text").contains(" the ") || col("text").startsWith("the ") || col("text").contains(" a ")),
+        "non_english"
+      )
+      .otherwise("kept")
+    docs
+      .select(col("doc_id"), verdict.as("verdict"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("verdict")
+  }
+  val q52Sql: String =
+    s"""WITH w AS (SELECT doc_id, text, length(text) AS len, string_split(text, ' ') AS ws FROM documents),
+       |sig AS (SELECT doc_id, len, text,
+       |               CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS diversity,
+       |               CASE WHEN len(ws) >= 3 THEN
+       |                 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+       |               ELSE 0.0 END AS dup3
+       |        FROM (SELECT *, [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                         FOR i IN range(1, least(len(ws) - 1, ${NGramPrefixCap + 1}))] AS g3
+       |              FROM w)),
+       |v AS (SELECT doc_id,
+       |             CASE WHEN len < 100 THEN 'too_short'
+       |                  WHEN len > 2000 THEN 'too_long'
+       |                  WHEN diversity < 0.3 THEN 'low_diversity'
+       |                  WHEN dup3 > 0.5 THEN 'repetitive'
+       |                  WHEN NOT (text LIKE '% the %' OR text LIKE 'the %' OR text LIKE '% a %') THEN 'non_english'
+       |                  ELSE 'kept' END AS verdict
+       |      FROM sig)
+       |SELECT verdict, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> q18DedupExact _,
     "q19_token_count" -> q19TokenCount _,
@@ -1118,7 +1295,10 @@ object TextQueries {
     "q46_batch_ann" -> q46BatchAnn _,
     "q47_decontamination" -> q47Decontamination _,
     "q48_indexed_search" -> q48IndexedSearch _,
-    "q49_stream_dedup" -> q49StreamDedup _
+    "q49_stream_dedup" -> q49StreamDedup _,
+    "q50_repetition" -> q50Repetition _,
+    "q51_hash_split" -> q51HashSplit _,
+    "q52_filter_cascade" -> q52FilterCascade _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1143,6 +1323,9 @@ object TextQueries {
     "q46_batch_ann" -> q46Sql,
     "q47_decontamination" -> q47Sql,
     "q48_indexed_search" -> q48Sql,
-    "q49_stream_dedup" -> q49Sql
+    "q49_stream_dedup" -> q49Sql,
+    "q50_repetition" -> q50Sql,
+    "q51_hash_split" -> q51Sql,
+    "q52_filter_cascade" -> q52Sql
   )
 }
