@@ -1273,6 +1273,94 @@ object TextQueries {
        |SELECT verdict, count(*) AS n_docs, min(doc_id) AS first_doc
        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
 
+  /** PII regexes, portable between Java regex (Spark) and RE2 (DuckDB):
+    * char classes, bounded repeats, no backreferences/boundaries. Email
+    * before phone in the redaction chain (mirrored in the oracle).
+    */
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** q53 — PII detection + redaction with per-segment accounting, the
+    * training-data hygiene scrub (emails, phone numbers). The test corpus
+    * carries no organic PII (pure word soup), so the op runs over a
+    * deterministic contact-note table derived from `customer` (name →
+    * email, custkey → formatted phone; construction mirrored verbatim in
+    * the oracle) — detection AND the redacted text are then value-level
+    * pinned (an md5-prefix checksum over every redacted note), not a
+    * trivially-zero pass. Pure projections + a 5-key aggregation; at
+    * corpus scale the scrub fuses into the scan with no shuffle beyond
+    * the final stats. TextFilterSpec pins the edge cases (multiple PII
+    * per note, none, adjacency).
+    */
+  def q53PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    piiRedact(contactNotes(t(dir, "customer")))
+  }
+
+  /** Deterministic contact notes from `customer`: one per row, each with
+    * one synthesized email and one 3-3-4 phone.
+    */
+  private[graft] def contactNotes(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey").as("note_id"),
+      col("c_mktsegment").as("segment"),
+      concat(
+        lit("reach "),
+        lower(col("c_name")),
+        lit(" at "),
+        regexp_replace(lower(col("c_name")), "#", "."),
+        lit("@"),
+        lower(col("c_mktsegment")),
+        lit(".example or "),
+        lpad((col("c_custkey") * 37 % 900 + 100).cast("string"), 3, "0"),
+        lit("-"),
+        lpad((col("c_custkey") * 59 % 1000).cast("string"), 3, "0"),
+        lit("-"),
+        lpad((col("c_custkey") * 97 % 10000).cast("string"), 4, "0")
+      ).as("note")
+    )
+
+  /** Core of q53 over any (note_id, segment, note) frame. */
+  private[graft] def piiRedact(notes: DataFrame): DataFrame = {
+    val red = regexp_replace(regexp_replace(col("note"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    notes
+      .select(
+        col("segment"),
+        col("note").rlike(EmailRe).as("has_email"),
+        col("note").rlike(PhoneRe).as("has_phone"),
+        red.as("red")
+      )
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n_notes"),
+        sum(when(col("has_email"), 1L).otherwise(0L)).as("n_email"),
+        sum(when(col("has_phone"), 1L).otherwise(0L)).as("n_phone"),
+        sum(length(col("red"))).as("red_chars"),
+        sum(conv(substring(md5(col("red").cast("binary")), 1, 8), 16, 10).cast("long")).as("red_check")
+      )
+      .orderBy("segment")
+  }
+  val q53Sql: String =
+    """WITH n AS (SELECT c_custkey AS note_id, c_mktsegment AS segment,
+      |                  'reach ' || lower(c_name) || ' at ' || replace(lower(c_name), '#', '.') ||
+      |                  '@' || lower(c_mktsegment) || '.example or ' ||
+      |                  lpad(CAST(c_custkey * 37 % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+      |                  lpad(CAST(c_custkey * 59 % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |                  lpad(CAST(c_custkey * 97 % 10000 AS VARCHAR), 4, '0') AS note
+      |           FROM customer),
+      |r AS (SELECT segment,
+      |             regexp_matches(note, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') AS has_email,
+      |             regexp_matches(note, '[0-9]{3}-[0-9]{3}-[0-9]{4}') AS has_phone,
+      |             regexp_replace(regexp_replace(note, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |                            '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+      |      FROM n)
+      |SELECT segment, count(*) AS n_notes,
+      |       CAST(sum(CASE WHEN has_email THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+      |       CAST(sum(CASE WHEN has_phone THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+      |       CAST(sum(length(red)) AS BIGINT) AS red_chars,
+      |       CAST(sum(CAST('0x' || substring(md5(red), 1, 8) AS BIGINT)) AS BIGINT) AS red_check
+      |FROM r GROUP BY segment ORDER BY segment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> q18DedupExact _,
     "q19_token_count" -> q19TokenCount _,
@@ -1298,7 +1386,8 @@ object TextQueries {
     "q49_stream_dedup" -> q49StreamDedup _,
     "q50_repetition" -> q50Repetition _,
     "q51_hash_split" -> q51HashSplit _,
-    "q52_filter_cascade" -> q52FilterCascade _
+    "q52_filter_cascade" -> q52FilterCascade _,
+    "q53_pii_redact" -> q53PiiRedact _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1326,6 +1415,7 @@ object TextQueries {
     "q49_stream_dedup" -> q49Sql,
     "q50_repetition" -> q50Sql,
     "q51_hash_split" -> q51Sql,
-    "q52_filter_cascade" -> q52Sql
+    "q52_filter_cascade" -> q52Sql,
+    "q53_pii_redact" -> q53Sql
   )
 }

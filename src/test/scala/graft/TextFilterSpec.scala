@@ -85,6 +85,33 @@ class TextFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
   }
 
+  test("q53: redaction handles multiple, adjacent, and absent PII") {
+    val sp = spark; import sp.implicits._
+    val notes = Seq(
+      (1L, "s", "two mails a@b.example and c.d@e-f.example plus 555-123-4567"),
+      (2L, "s", "adjacent 111-222-3333 444-555-6666 and x%y+z@host.example trailing"),
+      (3L, "s", "nothing sensitive here, just 12-34 and not@all"),
+      (4L, "s", "a@b.example")
+    ).toDF("note_id", "segment", "note")
+    // reuse the aggregate path for counts...
+    val agg = TextQueries.piiRedact(notes).collect().head
+    assert(agg.getLong(1) == 4L && agg.getLong(2) == 3L && agg.getLong(3) == 2L, s"agg = $agg")
+    // ...and pin the redacted strings byte-exactly
+    val red = notes
+      .select(
+        col("note_id"),
+        regexp_replace(regexp_replace(col("note"), TextQueries.EmailRe, "<EMAIL>"), TextQueries.PhoneRe, "<PHONE>")
+          .as("red")
+      )
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    assert(red(1L) == "two mails <EMAIL> and <EMAIL> plus <PHONE>")
+    assert(red(2L) == "adjacent <PHONE> <PHONE> and <EMAIL> trailing")
+    assert(red(3L) == "nothing sensitive here, just 12-34 and not@all")
+    assert(red(4L) == "<EMAIL>")
+  }
+
   test("q51: split is a pure function of content — duplicate texts co-locate, row order is irrelevant") {
     val sp = spark; import sp.implicits._
     val texts = (0 until 200).map(i => words(s"t$i-", 30).mkString(" "))
