@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.CacheOps
+
+/** End-to-end corpus curation: the composition a training-data user
+  * actually runs over a crawled document table —
+  *
+  *   exact dedup → near-dup (LSH) removal → quality-filter cascade →
+  *   content-hash split assignment
+  *
+  * — with a manifest accounting for every input row (the per-stage drop
+  * counts sum exactly to the input count; CorpusPipelineSpec pins the
+  * invariant). Each stage reuses the already-scale-guarded operator the
+  * driver gate checks one-by-one (q18's hash groups, q33/q34's capped
+  * banded LSH + pointer-jumping components, q52's cascade, q51's md5
+  * split), so the composition inherits their guards: no uncapped
+  * self-join, no driver-side corpus state, every projection codegen-fused.
+  *
+  * Stage boundaries materialize through [[CacheOps.checkpointReleasable]]
+  * — each stage's survivor set is computed once, every intermediate is
+  * freed deterministically, and the returned curated frame is a live
+  * checkpoint the caller releases after writing.
+  */
+object CorpusPipeline {
+
+  /** Per-stage accounting. `input = exactDupsRemoved + nearDupsRemoved +
+    * Σ droppedByReason + kept`, and `kept = Σ splits`.
+    */
+  final case class Manifest(
+      input: Long,
+      exactDupsRemoved: Long,
+      nearDupsRemoved: Long,
+      droppedByReason: Map[String, Long],
+      kept: Long,
+      splits: Map[String, Long]
+  ) {
+    private def m(kv: Map[String, Long]): String =
+      kv.toSeq.sorted.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    def json: String =
+      s"""{"input":$input,"exact_dups_removed":$exactDupsRemoved,"near_dups_removed":$nearDupsRemoved,""" +
+        s""""dropped_by_reason":${m(droppedByReason)},"kept":$kept,"splits":${m(splits)}}"""
+  }
+
+  /** Curate `documents` (requires doc_id + text; every other column is
+    * carried through). Returns the curated frame — input columns plus
+    * `split` — as a released-on-demand checkpoint, the manifest, and the
+    * release handle for the curated checkpoint.
+    */
+  def curate(
+      spark: SparkSession,
+      documents: DataFrame,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = TextQueries.LshMaxBucket
+  ): (DataFrame, Manifest, () => Unit) = {
+    val input = documents.count()
+
+    // 1: exact dedup — md5 hash groups, keeper = min doc_id (q18's rule)
+    val keeperIds = documents
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val (exactCp, relExact) = CacheOps.checkpointReleasable(
+      documents.join(keeperIds, Seq("doc_id"), "left_semi")
+    )
+    val nExact = exactCp.count()
+
+    // 2: near-dup removal — capped banded LSH + Jaccard verify (q33) and
+    // min-label components (q34): every non-minimal cluster member drops
+    val dup = TextQueries
+      .verifiedPairs(exactCp.select("doc_id", "text"), maxBucket)
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+    val edgesBoth = dup
+      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+      .persist()
+    val (labels, _, relCC) = TextQueries.connectedComponents(spark, edgesBoth)
+    val (dropsCp, relDrops) = CacheOps.checkpointReleasable(
+      labels.filter(col("node") =!= col("label")).select(col("node").as("doc_id"))
+    )
+    val nNear = dropsCp.count()
+    relCC()
+    edgesBoth.unpersist()
+    val (dedupedCp, relDeduped) = CacheOps.checkpointReleasable(
+      exactCp.join(dropsCp, Seq("doc_id"), "left_anti")
+    )
+    dedupedCp.count()
+    relExact()
+    relDrops()
+
+    // 3: quality cascade — verdict stamped as a pure projection (q52)
+    val (judgedCp, relJudged) = CacheOps.checkpointReleasable(TextQueries.withVerdict(dedupedCp))
+    val reasonCounts = judgedCp
+      .filter(col("verdict") =!= "kept")
+      .groupBy("verdict")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    relDeduped()
+
+    // 4: split assignment (q51) on the kept docs
+    val (curatedCp, relCurated) = CacheOps.checkpointReleasable(
+      judgedCp.filter(col("verdict") === "kept").drop("verdict").withColumn("split", TextQueries.splitCol)
+    )
+    val splitCounts = curatedCp
+      .groupBy("split")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    relJudged()
+
+    val manifest = Manifest(
+      input = input,
+      exactDupsRemoved = input - nExact,
+      nearDupsRemoved = nNear,
+      droppedByReason = reasonCounts,
+      kept = splitCounts.values.sum,
+      splits = splitCounts
+    )
+    (curatedCp, manifest, relCurated)
+  }
+}

@@ -635,7 +635,7 @@ object TextQueries {
     * costs one extra signature pass, so it is opt-in for the bench path;
     * [[oversizeBandBuckets]] is always available for monitoring).
     */
-  private def verifiedPairs(docs: DataFrame, maxBucket: Int = LshMaxBucket): DataFrame = {
+  private[graft] def verifiedPairs(docs: DataFrame, maxBucket: Int = LshMaxBucket): DataFrame = {
     if (sys.env.get("GRAFT_LSH_LOG").contains("1")) {
       val dropped = oversizeBandBuckets(docs, maxBucket).collect()
       if (dropped.nonEmpty)
@@ -1193,6 +1193,14 @@ object TextQueries {
     hashSplit(t(dir, "documents"))
   }
 
+  /** The q51 split assignment as a column over `text` — the row-level form
+    * the corpus-export pipeline stamps onto each kept doc.
+    */
+  private[graft] def splitCol: Column = {
+    val b = conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10).cast("long") % 100
+    when(b < 90, "train").when(b < 95, "val").otherwise("test")
+  }
+
   /** Core of q51 over any (doc_id, text, source, n_chars) frame. */
   private[graft] def hashSplit(documents: DataFrame): DataFrame = {
     val bucket = (conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10).cast("long") % 100).as("b")
@@ -1228,9 +1236,26 @@ object TextQueries {
   /** Core of q52 over any (doc_id, text) frame — spec-testable with docs
     * planted to hit each rule (and the first-failing-rule ordering).
     */
-  private[graft] def filterCascade(documents: DataFrame): DataFrame = {
+  private[graft] def filterCascade(documents: DataFrame): DataFrame =
+    cascadeVerdicts(documents)
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("verdict")
+
+  /** Per-doc first-failing-rule verdict (doc_id, verdict) — the row-level
+    * form q52 aggregates.
+    */
+  private[graft] def cascadeVerdicts(documents: DataFrame): DataFrame =
+    withVerdict(documents).select(col("doc_id"), col("verdict"))
+
+  /** `documents` with a `verdict` column appended (all input columns
+    * preserved) — the corpus-export pipeline's form: the cascade is a pure
+    * projection, so stamping it beats recomputing-and-joining.
+    */
+  private[graft] def withVerdict(documents: DataFrame): DataFrame = {
     val docs = documents
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"), split(col("text"), " ").as("ws"))
+      .withColumn("len", length(col("text")))
+      .withColumn("ws", split(col("text"), " "))
     val dup3 = when(
       size(col("ws")) >= 3, {
         val g3 = wordGrams(3)
@@ -1246,11 +1271,7 @@ object TextQueries {
         "non_english"
       )
       .otherwise("kept")
-    docs
-      .select(col("doc_id"), verdict.as("verdict"))
-      .groupBy("verdict")
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
-      .orderBy("verdict")
+    docs.withColumn("verdict", verdict).drop("len", "ws")
   }
   val q52Sql: String =
     s"""WITH w AS (SELECT doc_id, text, length(text) AS len, string_split(text, ' ') AS ws FROM documents),
