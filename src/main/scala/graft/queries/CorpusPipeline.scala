@@ -35,13 +35,61 @@ object CorpusPipeline {
       nearDupsRemoved: Long,
       droppedByReason: Map[String, Long],
       kept: Long,
-      splits: Map[String, Long]
+      splits: Map[String, Long],
+      skippedRules: Seq[String] = Nil
   ) {
     private def m(kv: Map[String, Long]): String =
       kv.toSeq.sorted.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     def json: String =
       s"""{"input":$input,"exact_dups_removed":$exactDupsRemoved,"near_dups_removed":$nearDupsRemoved,""" +
-        s""""dropped_by_reason":${m(droppedByReason)},"kept":$kept,"splits":${m(splits)}}"""
+        s""""dropped_by_reason":${m(droppedByReason)},"kept":$kept,"splits":${m(splits)},""" +
+        s""""skipped_rules":${skippedRules.sorted.map(r => s"\"$r\"").mkString("[", ",", "]")}}"""
+  }
+
+  /** Documents view of a crawl checkpoint: the newest version of every
+    * FETCHED page as (doc_id, text, url, source, n_chars) — the bridge
+    * from the crawl engine's output to [[curate]]. The extracted store
+    * keeps only the light columns (the one html pass is column-pruned
+    * away, CrawlEngine.extractPages), so text re-joins from the original
+    * page store — at production scale the warc archive, here the
+    * deterministic generator that plays its role. Newest-per-url uses the
+    * engine's exact version order ((warc_ts, md5(html)), the S6/q01 rule);
+    * doc_id = xxhash64(url). If the state dir carries an `extracted_cfg`
+    * marker it must match `cfg` (same guard as CrawlMain resume).
+    */
+  def crawlDocuments(
+      spark: SparkSession,
+      io: graft.round.ParquetTableIO,
+      cfg: graft.fixtures.PagesGen.Config
+  ): DataFrame = {
+    val last = io.lastCompleteRound()
+    require(last >= 0L, "no complete round in the state dir")
+    if (io.exists(0L, "extracted_cfg")) {
+      val m = io.read(0L, "extracted_cfg").select("pages", "hosts").collect().head
+      require(
+        m.getInt(0) == cfg.pages && m.getInt(1) == cfg.hosts,
+        s"state dir extracted_cfg (pages=${m.getInt(0)}, hosts=${m.getInt(1)}) does not match " +
+          s"the requested corpus (pages=${cfg.pages}, hosts=${cfg.hosts})"
+      )
+    }
+    val fetched = io.read(last, "fetched").select("url").distinct()
+    val pages = graft.fixtures.PagesGen
+      .generate(spark, cfg, partitions = math.max(spark.sparkContext.defaultParallelism * 2, 4))
+      .toDF
+      .join(fetched, Seq("url"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url")
+      .orderBy(col("warc_ts").desc, md5(col("html")).desc)
+    pages
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        xxhash64(col("url")).as("doc_id"),
+        col("text"),
+        col("url"),
+        substring_index(substring_index(col("url"), "//", -1), "/", 1).as("source"),
+        length(col("text")).cast("long").as("n_chars")
+      )
   }
 
   /** Curate `documents` (requires doc_id + text; every other column is
@@ -53,7 +101,8 @@ object CorpusPipeline {
       spark: SparkSession,
       documents: DataFrame,
       minJaccard: Double = 0.5,
-      maxBucket: Int = TextQueries.LshMaxBucket
+      maxBucket: Int = TextQueries.LshMaxBucket,
+      skipRules: Set[String] = Set.empty
   ): (DataFrame, Manifest, () => Unit) = {
     val input = documents.count()
 
@@ -92,7 +141,8 @@ object CorpusPipeline {
     relDrops()
 
     // 3: quality cascade — verdict stamped as a pure projection (q52)
-    val (judgedCp, relJudged) = CacheOps.checkpointReleasable(TextQueries.withVerdict(dedupedCp))
+    val (judgedCp, relJudged) =
+      CacheOps.checkpointReleasable(TextQueries.withVerdict(dedupedCp, skipRules))
     val reasonCounts = judgedCp
       .filter(col("verdict") =!= "kept")
       .groupBy("verdict")
@@ -120,7 +170,8 @@ object CorpusPipeline {
       nearDupsRemoved = nNear,
       droppedByReason = reasonCounts,
       kept = splitCounts.values.sum,
-      splits = splitCounts
+      splits = splitCounts,
+      skippedRules = skipRules.toSeq.sorted
     )
     (curatedCp, manifest, relCurated)
   }

@@ -1250,9 +1250,18 @@ object TextQueries {
 
   /** `documents` with a `verdict` column appended (all input columns
     * preserved) — the corpus-export pipeline's form: the cascade is a pure
-    * projection, so stamping it beats recomputing-and-joining.
+    * projection, so stamping it beats recomputing-and-joining. `skipRules`
+    * removes named rules from the chain (first-failing order preserved) —
+    * e.g. the crawl fixture corpus is link soup with no English stopword
+    * markers, so its curation skips `non_english`; q52 always runs the
+    * full chain.
     */
-  private[graft] def withVerdict(documents: DataFrame): DataFrame = {
+  private[graft] val CascadeRuleNames: Seq[String] =
+    Seq("too_short", "too_long", "low_diversity", "repetitive", "non_english")
+
+  private[graft] def withVerdict(documents: DataFrame, skipRules: Set[String] = Set.empty): DataFrame = {
+    val unknown = skipRules.diff(CascadeRuleNames.toSet)
+    require(unknown.isEmpty, s"unknown cascade rules: ${unknown.mkString(",")}")
     val docs = documents
       .withColumn("len", length(col("text")))
       .withColumn("ws", split(col("text"), " "))
@@ -1262,15 +1271,18 @@ object TextQueries {
         lit(1.0) - size(array_distinct(g3)).cast("double") / size(g3).cast("double")
       }
     ).otherwise(lit(0.0))
-    val verdict = when(col("len") < 100, "too_short")
-      .when(col("len") > 2000, "too_long")
-      .when(size(array_distinct(col("ws"))).cast("double") / size(col("ws")).cast("double") < 0.3, "low_diversity")
-      .when(dup3 > 0.5, "repetitive")
-      .when(
-        !(col("text").contains(" the ") || col("text").startsWith("the ") || col("text").contains(" a ")),
-        "non_english"
-      )
-      .otherwise("kept")
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (col("len") < 100),
+      "too_long" -> (col("len") > 2000),
+      "low_diversity" ->
+        (size(array_distinct(col("ws"))).cast("double") / size(col("ws")).cast("double") < 0.3),
+      "repetitive" -> (dup3 > 0.5),
+      "non_english" ->
+        !(col("text").contains(" the ") || col("text").startsWith("the ") || col("text").contains(" a "))
+    )
+    val verdict = rules.filterNot(r => skipRules.contains(r._1)).foldRight(lit("kept")) {
+      case ((name, cond), rest) => when(cond, name).otherwise(rest)
+    }
     docs.withColumn("verdict", verdict).drop("len", "ws")
   }
   val q52Sql: String =

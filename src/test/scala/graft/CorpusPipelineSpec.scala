@@ -76,6 +76,51 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(set1 == set2)
   }
 
+  test("crawl mode: a checkpoint's fetched corpus curates end-to-end") {
+    import graft.core.CrawlParams
+    import graft.fixtures.PagesGen
+    import graft.round.{CrawlEngine, ParquetTableIO, RoundDriver}
+    val sp = spark; import sp.implicits._
+    val cfg = PagesGen.Tiny
+    val dir = java.nio.file.Files.createTempDirectory("corpus-crawl").toString
+    val io = new ParquetTableIO(spark, dir)
+    val extracted = CrawlEngine
+      .extractPages(spark, PagesGen.generate(spark, cfg, partitions = 4).toDF)
+      .persist()
+    val driver = new RoundDriver(spark, io, CrawlParams(walksPerNode = 10, batch = 20, hostBudget = 5))
+    driver.init(PagesGen.seedUrls(cfg, 3))
+    driver.run(extracted, 2)
+    extracted.unpersist()
+
+    val docs = CorpusPipeline.crawlDocuments(spark, io, cfg)
+    val rows = docs.collect()
+    val nFetched = io.read(io.lastCompleteRound(), "fetched").distinct().count()
+    assert(rows.length.toLong == nFetched, s"expected one doc per fetched url")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "doc_ids must be unique")
+    assert(rows.forall(r => r.getAs[String]("text").nonEmpty && r.getAs[String]("source").endsWith(".example")))
+
+    // the crawl corpus is link soup without English markers: the full
+    // cascade drops everything as non_english; skipping the rule (the
+    // CorpusMain crawl-mode default, recorded in the manifest) keeps docs
+    val (c0, m0, r0) = CorpusPipeline.curate(spark, docs)
+    r0()
+    assert(m0.droppedByReason.getOrElse("non_english", 0L) > 0L)
+    val (curated, m, release) = CorpusPipeline.curate(spark, docs, skipRules = Set("non_english"))
+    val kept = curated.count()
+    release()
+    assert(m.input == nFetched && m.kept == kept && kept > 0L, s"manifest = ${m.json}")
+    assert(m.skippedRules == Seq("non_english"))
+    assert(!m.droppedByReason.contains("non_english"))
+    assert(m.input == m.exactDupsRemoved + m.nearDupsRemoved + m.droppedByReason.values.sum + m.kept)
+
+    // a mismatched corpus config is refused when the marker is present
+    io.write(0L, "extracted_cfg", Seq(("tiny", cfg.pages, cfg.hosts)).toDF("scale", "pages", "hosts"))
+    assert(CorpusPipeline.crawlDocuments(spark, io, cfg).count() == nFetched)
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.crawlDocuments(spark, io, cfg.copy(hosts = cfg.hosts + 1))
+    }
+  }
+
   test("no live caches survive a pipeline run after release") {
     val (curated, _, release) = CorpusPipeline.curate(spark, fixture)
     curated.count()
