@@ -77,10 +77,17 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedJs,""" +
         s""""queries":${js(med)},"queries_spread":${js(spread)},"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    )
+    // the file is belt-and-braces for a clipped stdout capture — a failed
+    // write (unwritable cwd, bad SPARK_GRAFT_BENCH_OUT) must not abort the
+    // run AFTER all reps completed and lose the stdout line too
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      )
+    catch {
+      case e: Exception => System.err.println(s"[bench] could not write $outPath: $e")
+    }
     // nothing may follow the JSON line on either stream: the harness
     // extracts it from captured output, and shutdown INFO logging after it
     // can push it out of a tail window (round-3 capture parsed as None)

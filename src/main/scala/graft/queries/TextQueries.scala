@@ -462,18 +462,30 @@ object TextQueries {
       maxBucket: Int,
       queryIds: Seq[Long]
   ): DataFrame = {
-    val e = docs.select(col("vec_id"), signBucket(bits).as("bucket"))
+    // Dense-block guard — the CANDIDATE side of each bucket is capped at the
+    // first `maxBucket` members by vec_id BEFORE the join. Unlike the dedup
+    // caps (q33/q41/q42) the bucket cannot be DROPPED — an ANN query must
+    // still get an answer — so the guard truncates the candidate list
+    // instead: join output is O(queries-in-bucket × cap), never O(block²),
+    // and a near-zero-embedding mega-block (a certainty in a web corpus)
+    // costs each of its queries at most `cap` candidate rows on the shared
+    // shuffle key. Recall inside an over-cap block is the documented trade
+    // (deterministic by vec_id; mirrored in q46Sql's row_number, so the
+    // values stay pinned); TextDedupSpec's mega-block fixture asserts the
+    // bound with the genuine neighbor surviving. This is THE batch-ANN
+    // candidate construction — q46 scores it; the spec pins it.
+    val e = docs.select(col("vec_id"), col("embedding"), signBucket(bits).as("bucket"))
     val wb = Window.partitionBy(col("bucket")).orderBy(col("cand_id").asc)
     val cands = e
-      .select(col("bucket"), col("vec_id").as("cand_id"))
+      .select(col("bucket"), col("vec_id").as("cand_id"), col("embedding").as("ce"))
       .withColumn("__rn", row_number().over(wb))
       .filter(col("__rn") <= maxBucket)
       .drop("__rn")
     e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
       .join(cands, Seq("bucket"))
       .filter(col("qid") =!= col("cand_id"))
-      .select("qid", "cand_id")
+      .select("qid", "cand_id", "qe", "ce")
   }
 
   /** q41 — embedding-cosine near-dup pairs (the ANN-dedup shape: blocked
@@ -596,9 +608,18 @@ object TextQueries {
     * members self-join (count via a window over the same (band, b) shuffle
     * the join needs — no extra job).
     */
-  private[graft] def candidatePairs(docs: DataFrame, maxBucket: Int = LshMaxBucket): DataFrame = {
+  private[graft] def candidatePairs(docs: DataFrame, maxBucket: Int = LshMaxBucket): DataFrame =
+    candidatePairsFromBuckets(bandBuckets(docs), maxBucket)
+
+  /** The capped (band, b) self-join over a PRECOMPUTED bucket table — THE
+    * load-bearing candidate construction (window-count cap, doc_a < doc_b,
+    * distinct across bands) that the batch path ([[candidatePairs]]) and
+    * StreamDedup's intra-batch path share; the q49 == q33 equality contract
+    * rides on there being exactly one implementation.
+    */
+  private[graft] def candidatePairsFromBuckets(buckets: DataFrame, maxBucket: Int = LshMaxBucket): DataFrame = {
     val w = Window.partitionBy("band", "b")
-    val ok = bandBuckets(docs)
+    val ok = buckets
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n").between(2, maxBucket))
       .drop("__n")
@@ -813,34 +834,15 @@ object TextQueries {
     */
   def q46BatchAnn(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val e = t(dir, "embeddings").select(col("vec_id"), col("embedding"), signBucket(4).as("bucket"))
     val dot = expr(
       "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
     )
     val nq = expr("aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
     val nc = expr("aggregate(ce, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("cand_id").asc)
-    // Dense-block guard — the CANDIDATE side of each bucket is capped at the
-    // first LshMaxBucket members by vec_id BEFORE the join. Unlike the dedup
-    // caps (q33/q41/q42) the bucket cannot be DROPPED — an ANN query must
-    // still get an answer — so the guard truncates the candidate list
-    // instead: join output is O(queries-in-bucket × cap), never O(block²),
-    // and a near-zero-embedding mega-block (a certainty in a web corpus)
-    // costs each of its queries at most `cap` candidate rows on the shared
-    // shuffle key. Recall inside an over-cap block is the documented trade
-    // (deterministic by vec_id; mirrored in the oracle's row_number, so the
-    // values stay pinned); TextDedupSpec's batch mega-block fixture asserts
-    // the bound with the genuine neighbor surviving.
-    val wb = Window.partitionBy(col("bucket")).orderBy(col("cand_id").asc)
-    val cands = e
-      .select(col("bucket"), col("vec_id").as("cand_id"), col("embedding").as("ce"))
-      .withColumn("__rn", row_number().over(wb))
-      .filter(col("__rn") <= LshMaxBucket)
-      .drop("__rn")
-    e.filter(col("vec_id").between(1, 5))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-      .join(cands, Seq("bucket"))
-      .filter(col("qid") =!= col("cand_id"))
+    // candidate generation (incl. the dense-block cap) is batchAnnCandidates
+    // — the ONE implementation TextDedupSpec pins; this query only scores it
+    batchAnnCandidates(t(dir, "embeddings"), bits = 4, maxBucket = LshMaxBucket, queryIds = (1L to 5L))
       .withColumn("cos_r", round(dot / (sqrt(nq) * sqrt(nc)), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -993,11 +995,15 @@ object TextQueries {
   ): DataFrame = {
     val bsh = shingles(docs.filter(col("doc_id") < benchMaxId)).select(col("doc_id").as("bench_id"), col("tok"))
     val bSize = bsh.groupBy("bench_id").agg(count(lit(1)).as("n_bench"))
-    val wdf = Window.partitionBy(col("tok"))
-    val csh = shingles(docs.filter(col("doc_id") >= benchMaxId))
-      .withColumn("__df", count(lit(1)).over(wdf))
-      .filter(col("__df") <= dfCap)
-      .drop("__df")
+    // the DF cap via groupBy + anti-join, NOT a count-over-window: a window
+    // partitioned by tok has no partial aggregation, so a boilerplate
+    // shingle in 10^8 docs lands all its rows on ONE task just to be
+    // discarded; the groupBy collapses per-partition (map-side combine) and
+    // the anti-join is AQE-skew-splittable (strategy left to Catalyst — the
+    // over-cap list is small in practice and broadcasts)
+    val shCorpus = shingles(docs.filter(col("doc_id") >= benchMaxId))
+    val hotToks = shCorpus.groupBy("tok").agg(count(lit(1)).as("__df")).filter(col("__df") > dfCap).select("tok")
+    val csh = shCorpus.join(hotToks, Seq("tok"), "left_anti")
     val w = Window.partitionBy(col("bench_id")).orderBy(col("n_common").desc, col("doc_id").asc)
     csh
       .join(broadcast(bsh), Seq("tok"))
@@ -1104,9 +1110,9 @@ object TextQueries {
     * DESCENDING for k < 1, unlike DuckDB's empty `range`).
     */
   private[graft] val NGramPrefixCap = 5000
-  private def wordGrams(n: Int): Column = {
-    val parts = (0 until n).map(j => s"element_at(ws, i + $j)").mkString(", ' ', ")
-    expr(s"transform(sequence(1, least(size(ws) - ${n - 1}, $NGramPrefixCap)), i -> concat($parts))")
+  private def wordGrams(n: Int, wsCol: String = "ws"): Column = {
+    val parts = (0 until n).map(j => s"element_at($wsCol, i + $j)").mkString(", ' ', ")
+    expr(s"transform(sequence(1, least(size($wsCol) - ${n - 1}, $NGramPrefixCap)), i -> concat($parts))")
   }
 
   /** q50 — repetition quality signals (the Gopher-rule family: Rae et al.
@@ -1201,16 +1207,16 @@ object TextQueries {
     when(b < 90, "train").when(b < 95, "val").otherwise("test")
   }
 
-  /** Core of q51 over any (doc_id, text, source, n_chars) frame. */
-  private[graft] def hashSplit(documents: DataFrame): DataFrame = {
-    val bucket = (conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10).cast("long") % 100).as("b")
+  /** Core of q51 over any (doc_id, text, source, n_chars) frame — the
+    * assignment is [[splitCol]], THE split formula (one definition; the
+    * export pipeline stamps the same column).
+    */
+  private[graft] def hashSplit(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), col("source"), col("n_chars"), bucket)
-      .withColumn("split", when(col("b") < 90, "train").when(col("b") < 95, "val").otherwise("test"))
+      .select(col("doc_id"), col("source"), col("n_chars"), splitCol.as("split"))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"), min(col("doc_id")).as("first_doc"))
       .orderBy("source", "split")
-  }
   val q51Sql: String =
     """WITH s AS (SELECT *, CAST('0x' || substring(md5(text), 1, 4) AS BIGINT) % 100 AS b FROM documents)
       |SELECT source,
@@ -1262,20 +1268,25 @@ object TextQueries {
   private[graft] def withVerdict(documents: DataFrame, skipRules: Set[String] = Set.empty): DataFrame = {
     val unknown = skipRules.diff(CascadeRuleNames.toSet)
     require(unknown.isEmpty, s"unknown cascade rules: ${unknown.mkString(",")}")
+    // helper columns get reserved names so a caller corpus that already has
+    // a `len`/`ws` column is carried through untouched ("every other column
+    // is carried through" is CorpusPipeline.curate's contract)
+    val lenC = "__graft_len"
+    val wsC = "__graft_ws"
     val docs = documents
-      .withColumn("len", length(col("text")))
-      .withColumn("ws", split(col("text"), " "))
+      .withColumn(lenC, length(col("text")))
+      .withColumn(wsC, split(col("text"), " "))
     val dup3 = when(
-      size(col("ws")) >= 3, {
-        val g3 = wordGrams(3)
+      size(col(wsC)) >= 3, {
+        val g3 = wordGrams(3, wsC)
         lit(1.0) - size(array_distinct(g3)).cast("double") / size(g3).cast("double")
       }
     ).otherwise(lit(0.0))
     val rules: Seq[(String, Column)] = Seq(
-      "too_short" -> (col("len") < 100),
-      "too_long" -> (col("len") > 2000),
+      "too_short" -> (col(lenC) < 100),
+      "too_long" -> (col(lenC) > 2000),
       "low_diversity" ->
-        (size(array_distinct(col("ws"))).cast("double") / size(col("ws")).cast("double") < 0.3),
+        (size(array_distinct(col(wsC))).cast("double") / size(col(wsC)).cast("double") < 0.3),
       "repetitive" -> (dup3 > 0.5),
       "non_english" ->
         !(col("text").contains(" the ") || col("text").startsWith("the ") || col("text").contains(" a "))
@@ -1283,7 +1294,7 @@ object TextQueries {
     val verdict = rules.filterNot(r => skipRules.contains(r._1)).foldRight(lit("kept")) {
       case ((name, cond), rest) => when(cond, name).otherwise(rest)
     }
-    docs.withColumn("verdict", verdict).drop("len", "ws")
+    docs.withColumn("verdict", verdict).drop(lenC, wsC)
   }
   val q52Sql: String =
     s"""WITH w AS (SELECT doc_id, text, length(text) AS len, string_split(text, ' ') AS ws FROM documents),

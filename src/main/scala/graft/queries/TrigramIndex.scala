@@ -43,12 +43,19 @@ object TrigramIndex {
   private def tableName(path: String): String = s"graft_tri_${digest(path)}"
 
   /** Deterministic per-corpus index location (tmpdir, keyed by the corpus
-    * dir digest) — lets q48 build once and probe on every later call/rep.
+    * dir digest AND the os user) — lets q48 build once and probe on every
+    * later call/rep. The user scoping keeps multi-user hosts from fighting
+    * over one dir (B cannot delete A's stale index, and must not silently
+    * serve it). Single WRITER per path is assumed (build() clears the dir
+    * before CTAS): concurrent builders of the same corpus need an external
+    * mutex or an explicit per-job `path` — in production this seam is a
+    * real catalog with transactional swap, as the Iceberg note in
+    * round/TableIO.scala already records.
     */
   def defaultPath(sfDir: String): String =
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_tri_${digest(sfDir)}"
+      s"graft_tri_${digest(sfDir + ":" + sys.props.getOrElse("user.name", ""))}"
     ).getAbsolutePath
 
   /** Distinct (doc_id, g) character-trigram postings of `docs`. */

@@ -100,18 +100,11 @@ object StreamDedup {
       graft.core.CacheOps.checkpointReleasable(TextQueries.bandBuckets(newDocs))
     val prior = priorPostings.getOrElse(newBuckets.limit(0))
 
-    // intra-batch: the batch pipeline's capped bucket self-join (count via
-    // a window over the same (band, b) shuffle the join needs)
-    val wBucket = Window.partitionBy("band", "b")
-    val okNew = newBuckets
-      .withColumn("__n", count(lit(1)).over(wBucket))
-      .filter(col("__n").between(2, probeCap))
-      .drop("__n")
-    val intra = okNew
-      .select(col("band"), col("b"), col("doc_id").as("doc_a"))
-      .join(okNew.select(col("band"), col("b"), col("doc_id").as("doc_b")), Seq("band", "b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    // intra-batch: the batch pipeline's capped bucket self-join — the SAME
+    // implementation (TextQueries.candidatePairsFromBuckets), applied to
+    // this batch's checkpointed buckets; the q49 == q33 equality depends on
+    // the two paths sharing it
+    val intra = TextQueries.candidatePairsFromBuckets(newBuckets, probeCap)
 
     // cross: new buckets probe the store. The store is append-capped, so
     // each (new doc, bucket) meets at most probeCap prior candidates.

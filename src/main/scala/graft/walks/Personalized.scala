@@ -203,10 +203,10 @@ object Personalized {
     // builds and caches its own copy)
     val srcDeg = edges.filter(col("src") === source).count()
     val wave = graft.spec.SequentialSpec.GenWave
-    val segs =
+    val (segs, relSegs) =
       if (srcDeg >= explodedMinDegree)
-        IterativeWalker.generateExploded(spark, Seq(source).toDS(), adjDS, 0L, wave, p)
-      else IterativeWalker.generate(spark, Seq(source).toDS(), adjDS, 0L, wave, p)
+        IterativeWalker.generateExplodedReleasable(spark, Seq(source).toDS(), adjDS, 0L, wave, p)
+      else IterativeWalker.generateReleasable(spark, Seq(source).toDS(), adjDS, 0L, wave, p)
     val counts = segs
       .select(explode(col("path")).as("node"))
       .groupBy("node")
@@ -215,10 +215,26 @@ object Personalized {
     // window here would drag every distinct visited node through ONE
     // partition, the opposite of this function's purpose
     val total = counts.agg(sum(col("visits")).as("__total"))
-    counts
+    val out = counts
       .crossJoin(broadcast(total))
       .select(col("node"), col("visits"), (col("visits").cast("double") / col("__total")).as("rank"))
-      .orderBy("node")
+    // drain-then-release (the q34 discipline): the result is O(distinct
+    // visited nodes) ≤ O(numWalks × E[len]) — far smaller than the segment
+    // table; materialize it, free the walker's output checkpoint, and leave
+    // ZERO caches on the small path (a bench JVM calls this 3× per rep —
+    // leaking one segment checkpoint per call is the storage-pressure
+    // pattern CacheOps exists to prevent)
+    val (outCp, relOut) = graft.core.CacheOps.checkpointReleasable(out)
+    val n = outCp.count()
+    if (n <= 2000000L) {
+      val rows = outCp.as[(Long, Long, Double)].collect().sortBy(_._1)
+      relOut()
+      relSegs()
+      spark.createDataset(rows.toIndexedSeq).toDF("node", "visits", "rank")
+    } else {
+      relSegs()
+      outCp.orderBy("node")
+    }
   }
 
   /** Distributed-adjacency entry: like [[personalized]] but against the
