@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-curation back-end operators: the steps between "filtered corpus"
+  * and "training shards on disk" that the front-of-pipeline ops (q18-q53)
+  * feed. Duplicated-passage accounting (q54, the Lee-et-al. exact-substring
+  * dedup shape approximated at the 8-gram level), quality-aware dedup
+  * keeper selection (q55), deterministic source mixing against a char
+  * budget (q56), and byte-budget shard assignment for export (q57, a
+  * distributed two-phase prefix sum — the one genuinely sequential
+  * computation in the pipeline, done without a single-partition window).
+  *
+  * Same cross-engine parity discipline as [[TextQueries]]: every hash is
+  * md5-hex (identical in Spark and DuckDB), every double is rounded before
+  * comparison, every cap/threshold is interpolated into BOTH sides.
+  */
+object CurationQueries {
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- q54
+
+  /** Passage length for corpus-level exact duplicate-passage accounting.
+    * 8 words ≈ the 50-char spans of the suffix-array dedup literature;
+    * long enough that a match is memorization, short enough to catch
+    * partial-overlap near-dups that doc-level hashing misses.
+    */
+  private[graft] val DupPassageN = 8
+
+  /** q54 — duplicated-passage accounting: for every doc, how much of it is
+    * exact 8-gram overlap with SOME OTHER doc in the corpus. Per-doc
+    * distinct 8-grams (position-capped like every n-gram op here) →
+    * corpus document frequency per gram (groupBy, so partial aggregation
+    * collapses boilerplate grams map-side — the same reason q47 dropped
+    * its count-over-window) → grams with df ≥ 2 joined back per doc.
+    * The join key is the gram string; the df table is distinct-per-gram so
+    * the join cannot blow up, and AQE handles residual hot-gram skew.
+    * Output is O(docs); the verdict column is the standard "mostly
+    * duplicated" gate at half the doc.
+    */
+  def q54DupPassages(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = t(dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= DupPassageN)
+    val grams = w
+      .select(col("doc_id"), explode(array_distinct(TextQueries.wordGrams(DupPassageN))).as("gram"))
+    val dupGrams = grams
+      .groupBy("gram")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select("gram")
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val perDocDup = grams
+      .join(dupGrams, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup"))
+    perDoc
+      .join(perDocDup, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams").cast("double"), 4)
+          .as("dup_frac"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams").cast("double") > 0.5)
+          .as("mostly_dup")
+      )
+      .orderBy("doc_id")
+  }
+  val q54Sql: String = {
+    val n = DupPassageN
+    val parts = (0 until n).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= $n),
+      |g AS (SELECT DISTINCT doc_id, $parts AS gram
+      |      FROM w, (SELECT unnest(range(1, ${TextQueries.NGramPrefixCap + 1})) AS i) r
+      |      WHERE i + ${n - 1} <= len(ws)),
+      |df AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |d AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+      |dup AS (SELECT g.doc_id, count(*) AS n_dup FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+      |SELECT d.doc_id, d.n_grams, coalesce(dup.n_dup, 0) AS n_dup,
+      |       CAST(round(CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / d.n_grams, 4) AS DOUBLE) AS dup_frac,
+      |       CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / d.n_grams > 0.5 AS mostly_dup
+      |FROM d LEFT JOIN dup USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q55
+
+  /** The q20 diversity ratio as a keeper-selection score — one definition,
+    * shared by the Spark side and interpolated into the oracle.
+    */
+  private[graft] def qualityScore: org.apache.spark.sql.Column = {
+    val ws = split(col("text"), " ")
+    round(size(array_distinct(ws)).cast("double") / size(ws).cast("double"), 4)
+  }
+
+  /** q55 — quality-aware dedup keeper selection. q34 resolves near-dup
+    * clusters and keeps the MIN doc id — the right deterministic default,
+    * but a real curation pipeline keeps the BEST copy (near-dups differ:
+    * one is the clean original, one the ad-wrapped scrape). Same verified
+    * pairs → same pointer-jumping components; then each cluster picks its
+    * keeper by (diversity score desc, doc_id asc) via one window over the
+    * cluster key — O(cluster) work per cluster, bounded by the same LSH
+    * bucket cap that bounds the pairs. Cache discipline is q34's: the
+    * component labels are released before returning; the result is
+    * re-created as a local relation when small.
+    */
+  def q55QualityKeeper(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val docs = t(dir, "documents")
+    val dup = TextQueries
+      .verifiedPairs(docs)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val edgesBoth = dup
+      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+      .persist()
+    val (labels, _, release) = TextQueries.connectedComponents(spark, edgesBoth)
+    val q = docs.select(col("doc_id").as("node"), qualityScore.as("quality"))
+    val wk = Window.partitionBy(col("cluster")).orderBy(col("quality").desc, col("node").asc)
+    val out = labels
+      .select(col("label").as("cluster"), col("node"))
+      .join(q, Seq("node"))
+      .withColumn("__rn", row_number().over(wk))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("__rn") === 1, col("node"))).as("keeper"),
+        max(when(col("__rn") === 1, col("quality"))).as("keeper_quality")
+      )
+    val nLabeled = labels.count()
+    if (nLabeled <= 2000000L) {
+      val rows = out.as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      release()
+      edgesBoth.unpersist()
+      spark
+        .createDataset(rows.toIndexedSeq)
+        .toDF("cluster", "n_members", "keeper", "keeper_quality")
+    } else {
+      release()
+      edgesBoth.unpersist()
+      out.orderBy("cluster")
+    }
+  }
+  val q55Sql: String =
+    TextQueries.dedupClusterSqlPrefix +
+      """,
+        |q AS (SELECT doc_id,
+        |             CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |                        / len(string_split(text, ' ')), 4) AS DOUBLE) AS quality
+        |      FROM documents),
+        |m AS (SELECT l.label AS cluster, l.node, q.quality,
+        |             row_number() OVER (PARTITION BY l.label ORDER BY q.quality DESC, l.node ASC) AS rn
+        |      FROM labels l JOIN q ON q.doc_id = l.node)
+        |SELECT cluster, count(*) AS n_members,
+        |       max(CASE WHEN rn = 1 THEN node END) AS keeper,
+        |       max(CASE WHEN rn = 1 THEN quality END) AS keeper_quality
+        |FROM m GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+
+  /** q56 — deterministic source mixing against a char budget. The corpus
+    * budget is 40% of total chars, split evenly across sources; a source
+    * under its share keeps everything (rate 10000 bp), an over-share
+    * source is downsampled to rate = share/total in basis points. Doc
+    * selection is a pure hash threshold on md5(text) — deterministic,
+    * re-runnable, and exactly mirrored in the oracle (the q51 idiom at
+    * 10000 buckets), which is what makes the mix reproducible across a
+    * 1000-executor re-run. Plan shape: one tiny per-source aggregate
+    * (broadcast both as the rate table and as the scalar total), one
+    * corpus scan with the filter fused into it, one small-key re-aggregate
+    * — no wide shuffle of document rows at all.
+    */
+  private[graft] val MixBudgetFrac = 0.4
+  def q56SourceMixing(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val d = t(dir, "documents")
+    val per = d.groupBy("source").agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    val share = per.agg(
+      floor(sum("total_chars") * MixBudgetFrac / count(lit(1))).cast("long").as("__share")
+    )
+    val rates = per
+      .crossJoin(broadcast(share))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("total_chars"),
+        least(lit(10000L), floor(col("__share") * 10000.0 / col("total_chars")).cast("long"))
+          .as("rate_bp")
+      )
+    val bucket = conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10).cast("long") % 10000
+    val sel = d
+      .join(broadcast(rates.select("source", "rate_bp")), Seq("source"))
+      .filter(bucket < col("rate_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("n_chars").as("sel_chars"))
+    rates
+      .join(sel, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("total_chars"),
+        col("rate_bp"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_chars"), lit(0L)).as("sel_chars")
+      )
+      .orderBy("source")
+  }
+  val q56Sql: String =
+    s"""WITH b AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      |           FROM documents GROUP BY source),
+      |s AS (SELECT CAST(floor(sum(total_chars) * CAST($MixBudgetFrac AS DOUBLE) / count(*)) AS BIGINT) AS share FROM b),
+      |r AS (SELECT source, n_docs, total_chars,
+      |             least(10000, CAST(floor(CAST(share AS DOUBLE) * 10000 / total_chars) AS BIGINT)) AS rate_bp
+      |      FROM b, s),
+      |sel AS (SELECT d.source, count(*) AS n_selected, sum(d.n_chars) AS sel_chars
+      |        FROM documents d JOIN r USING (source)
+      |        WHERE CAST('0x' || substring(md5(d.text), 1, 4) AS BIGINT) % 10000 < r.rate_bp
+      |        GROUP BY d.source)
+      |SELECT r.source, r.n_docs, r.total_chars, r.rate_bp,
+      |       coalesce(sel.n_selected, 0) AS n_selected, coalesce(sel.sel_chars, 0) AS sel_chars
+      |FROM r LEFT JOIN sel USING (source) ORDER BY r.source""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+
+  /** Exclusive running sum of `sizeCol` in global `orderCol` order, WITHOUT
+    * a single-partition window — the distributed two-phase prefix sum:
+    * range-repartition on the order key (partition i holds strictly lower
+    * keys than partition i+1), sort within partitions, one pass for
+    * per-partition totals (O(partitions) rows to the driver), scan-left
+    * into per-partition start offsets, one mapPartitions pass stamping
+    * offset + local running sum. A window `ORDER BY doc_id` with no
+    * PARTITION BY — the obvious spelling — drags the entire corpus through
+    * ONE task; this shape keeps every pass fully parallel and moves only
+    * O(partitions) scalars through the driver. mapPartitions is sanctioned
+    * here per the brief's preference order: a prefix sum is genuinely
+    * per-partition imperative logic no Catalyst expression expresses.
+    * CurationQueriesSpec pins byte-equality against the naive window on a
+    * multi-partition fixture.
+    */
+  private[graft] def withStartOffset(
+      docs: DataFrame,
+      orderCol: String,
+      sizeCol: String,
+      numPartitions: Int = 0
+  )(implicit spark: SparkSession): DataFrame = {
+    val nPart =
+      if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val ranged = docs
+      .repartitionByRange(nPart, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val rdd = ranged.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizeIdx = ranged.schema.fieldIndex(sizeCol)
+    def sizeOf(r: Row): Long = r.get(sizeIdx) match {
+      case l: java.lang.Long    => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case other                => throw new IllegalArgumentException(s"non-integral $sizeCol: $other")
+    }
+    val partSums = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += sizeOf(r))
+        Iterator((pid, s))
+      }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = sum of all earlier partitions
+    val schema = ranged.schema.add("start_off", LongType, nullable = false)
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = offsets(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ s)
+        s += sizeOf(r)
+        out
+      }
+    }
+    val df = spark.createDataFrame(stamped, schema)
+    // the persisted input RDD stays referenced by the output's lineage;
+    // release is the caller's call once the result is drained
+    df
+  }
+
+  /** Target shard size for q57 in chars. Small enough that every test sf
+    * produces a multi-shard assignment; the production knob is the
+    * parameter on [[shardAssign]].
+    */
+  private[graft] val ShardTargetChars = 50000L
+
+  /** Shard assignment + per-shard manifest over any (orderable id, size)
+    * corpus: doc → shard by START offset (a doc belongs wholly to the
+    * shard its first byte lands in — shards can overhang by at most one
+    * doc, the standard tar-shard convention, mirrored in the oracle).
+    */
+  private[graft] def shardAssign(
+      docs: DataFrame,
+      targetChars: Long,
+      numPartitions: Int = 0
+  )(implicit spark: SparkSession): DataFrame =
+    withStartOffset(docs, "doc_id", "n_chars", numPartitions)
+      .withColumn("shard", floor(col("start_off") / targetChars).cast("long"))
+
+  /** q57 — byte-budget export shards: the manifest (doc count, char sum,
+    * id range) per shard the export writer would produce. The assignment
+    * itself is [[shardAssign]] (two-phase prefix sum); this query folds it
+    * to the O(shards) manifest the driver checks against DuckDB's window
+    * spelling — value-equality here IS the two-phase == window proof at
+    * driver scale (the spec pins it again on a forced-partitioning
+    * fixture).
+    */
+  def q57ShardAssign(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    shardAssign(t(dir, "documents").select("doc_id", "n_chars"), ShardTargetChars)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc")
+      )
+      .orderBy("shard")
+  }
+  val q57Sql: String =
+    s"""WITH o AS (SELECT doc_id, n_chars,
+      |                  coalesce(sum(n_chars) OVER (ORDER BY doc_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |           FROM documents)
+      |SELECT CAST(floor(CAST(start_off AS DOUBLE) / $ShardTargetChars) AS BIGINT) AS shard,
+      |       count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_dup_passages" -> q54DupPassages _,
+    "q55_quality_keeper" -> q55QualityKeeper _,
+    "q56_source_mixing" -> q56SourceMixing _,
+    "q57_shard_assign" -> q57ShardAssign _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q54_dup_passages" -> q54Sql,
+    "q55_quality_keeper" -> q55Sql,
+    "q56_source_mixing" -> q56Sql,
+    "q57_shard_assign" -> q57Sql
+  )
+}

@@ -813,14 +813,21 @@ object TextQueries {
       out.orderBy("keeper")
     }
   }
-  val q34Sql: String =
+  /** Oracle CTE chain through the resolved `labels(node, label)` dedup
+    * components — shared by q34 and the quality-keeper variant (q55), so
+    * the two oracles cannot drift on what a cluster IS.
+    */
+  private[graft] val dedupClusterSqlPrefix: String =
     shingleSqlPrefix +
       """,
         |dup AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
         |e AS (SELECT doc_a AS x, doc_b AS y FROM dup UNION SELECT doc_b, doc_a FROM dup),
         |reach AS (WITH RECURSIVE r(x, y) AS (SELECT x, y FROM e UNION SELECT r.x, e.y FROM r JOIN e ON r.y = e.x)
         |          SELECT x, y FROM r),
-        |labels AS (SELECT x AS node, least(x, min(y)) AS label FROM reach GROUP BY x)
+        |labels AS (SELECT x AS node, least(x, min(y)) AS label FROM reach GROUP BY x)""".stripMargin
+  val q34Sql: String =
+    dedupClusterSqlPrefix +
+      """
         |SELECT label AS keeper, count(*) AS n_members, max(node) AS max_member
         |FROM labels GROUP BY label ORDER BY keeper""".stripMargin
 
@@ -1110,7 +1117,7 @@ object TextQueries {
     * DESCENDING for k < 1, unlike DuckDB's empty `range`).
     */
   private[graft] val NGramPrefixCap = 5000
-  private def wordGrams(n: Int, wsCol: String = "ws"): Column = {
+  private[graft] def wordGrams(n: Int, wsCol: String = "ws"): Column = {
     val parts = (0 until n).map(j => s"element_at($wsCol, i + $j)").mkString(", ' ', ")
     expr(s"transform(sequence(1, least(size($wsCol) - ${n - 1}, $NGramPrefixCap)), i -> concat($parts))")
   }
