@@ -215,13 +215,13 @@ object CurationQueries {
       .orderBy("source")
   }
   val q56Sql: String =
-    s"""WITH b AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    s"""WITH b AS (SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |           FROM documents GROUP BY source),
       |s AS (SELECT CAST(floor(sum(total_chars) * CAST($MixBudgetFrac AS DOUBLE) / count(*)) AS BIGINT) AS share FROM b),
       |r AS (SELECT source, n_docs, total_chars,
       |             least(10000, CAST(floor(CAST(share AS DOUBLE) * 10000 / total_chars) AS BIGINT)) AS rate_bp
       |      FROM b, s),
-      |sel AS (SELECT d.source, count(*) AS n_selected, sum(d.n_chars) AS sel_chars
+      |sel AS (SELECT d.source, count(*) AS n_selected, CAST(sum(d.n_chars) AS BIGINT) AS sel_chars
       |        FROM documents d JOIN r USING (source)
       |        WHERE CAST('0x' || substring(md5(d.text), 1, 4) AS BIGINT) % 10000 < r.rate_bp
       |        GROUP BY d.source)
@@ -334,7 +334,7 @@ object CurationQueries {
       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
       |           FROM documents)
       |SELECT CAST(floor(CAST(start_off AS DOUBLE) / $ShardTargetChars) AS BIGINT) AS shard,
-      |       count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus signal / selection operators layered on the documents table:
+  * TF-IDF keyword extraction (q58), unigram-LM log-probability quality
+  * scoring (q59, the KenLM-perplexity-filter shape of CCNet), and exact-k
+  * deterministic stratified sampling (q60, the two-phase bucket-cutoff +
+  * rank form that never total-sorts a stratum).
+  *
+  * Same cross-engine parity discipline as [[TextQueries]]: ranking keys are
+  * integers/strings wherever a double's last ulp could reorder engines;
+  * every emitted double is rounded to 4 decimals; every cap/threshold is
+  * interpolated into BOTH the Spark plan and the DuckDB oracle.
+  */
+object SignalQueries {
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Keyword tokens for q58/q59: lowercase alphabetic runs of ≥3 chars —
+    * identical semantics in Java regex and RE2, and short enough a stopword
+    * guard (df cap) still has work to do.
+    */
+  private[graft] val TokenRe = "[a-z]{3,}"
+
+  // ---------------------------------------------------------------- q58
+
+  private[graft] val TfIdfTopK = 3
+
+  /** q58 — TF-IDF keyword extraction: top-[[TfIdfTopK]] terms per document.
+    * Plan shape: one token explode → (doc, term, tf) aggregation (map-side
+    * combine collapses repeats before the shuffle), one vocabulary-sized
+    * (term → df) aggregation, one equi-join on term, one per-doc window.
+    * Terms in more than half the corpus are dropped (integer predicate
+    * `2·df > N`) — that is the stopword guard AND the mega-key guard: the
+    * hottest join keys in a web corpus are exactly the boilerplate terms,
+    * and they carry no keyword signal. Ranking uses only integers/strings
+    * (tf desc, df asc, term asc) so engine ulp differences in ln() cannot
+    * reorder ties; the familiar tf·ln(N/df) weight is emitted (rounded) but
+    * never sorted on.
+    */
+  def q58TfIdfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val toks = t(dir, "documents")
+      .select(col("doc_id"), explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = tf.select("doc_id").distinct().count()
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df")).filter(col("df") * 2 <= lit(nDocs))
+    val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df_, Seq("term"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TfIdfTopK)
+      .select(
+        col("doc_id"),
+        col("rn"),
+        col("term"),
+        col("tf"),
+        col("df"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf")
+      )
+      .orderBy("doc_id", "rn")
+  }
+  val q58Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |kept AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |                row_number() OVER (PARTITION BY tf.doc_id
+      |                                   ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+      |         FROM tf JOIN df USING (term), n WHERE df.df * 2 <= n.n_docs)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf, df,
+      |       CAST(round(tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df), 4) AS DOUBLE) AS tfidf
+      |FROM kept WHERE rn <= $TfIdfTopK ORDER BY doc_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+
+  private[graft] val LmBottomK = 100
+
+  /** q59 — unigram-LM quality scoring: score every document by the mean
+    * log-probability of its tokens under the corpus's own unigram model
+    * (p(t) = count(t)/total), and return the [[LmBottomK]] worst documents —
+    * the CCNet/KenLM perplexity-filter shape with the LM reduced to its
+    * order-1 term so the oracle is pure SQL. Two corpus-scan aggregations
+    * (term counts; per-doc (term, tf)), one join on term, one per-doc
+    * re-aggregation: every shuffle key is a term or a doc id, nothing
+    * quadratic, boilerplate terms are the model's HEAD so their join rows
+    * collapse map-side via the (doc, term, tf) pre-aggregation. Ordering is
+    * on the ROUNDED score (then doc id), so sub-rounding float noise —
+    * summation order, ln() ulp — cannot reorder the cut; the rounding
+    * granularity (1e-4) exceeds accumulated double error by ~8 orders of
+    * magnitude at any document length.
+    */
+  def q59UnigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tf = t(dir, "documents")
+      .select(col("doc_id"), explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = model.agg(sum("cnt")).first().getLong(0)
+    tf.join(model, Seq("term"))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").as("n_tokens"),
+        round(
+          sum(col("tf") * log(col("cnt").cast("double") / lit(total.toDouble))) / sum("tf"),
+          4
+        ).as("avg_logprob")
+      )
+      .orderBy(col("avg_logprob").asc, col("doc_id").asc)
+      .limit(LmBottomK)
+  }
+  val q59Sql: String =
+    s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+      |            FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS term
+      |                  FROM documents)
+      |            GROUP BY doc_id, term),
+      |model AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM model),
+      |scored AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+      |                  CAST(round(sum(tf.tf * ln(CAST(model.cnt AS DOUBLE) / tot.total)) / sum(tf.tf), 4) AS DOUBLE)
+      |                    AS avg_logprob
+      |           FROM tf JOIN model USING (term), tot GROUP BY tf.doc_id, tot.total)
+      |SELECT doc_id, n_tokens, avg_logprob FROM scored
+      |ORDER BY avg_logprob ASC, doc_id ASC LIMIT $LmBottomK""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+
+  private[graft] val StratK = 50
+
+  /** Exact-k deterministic sample per stratum WITHOUT total-sorting any
+    * stratum — the two-phase form of `row_number() OVER (PARTITION BY
+    * stratum ORDER BY md5(text), doc_id) <= k`:
+    *
+    * phase 1 — count docs per (stratum, first-byte bucket of the hash)
+    * (256 buckets; O(strata × 256) rows to the driver) and find, per
+    * stratum, the smallest bucket cutoff whose cumulative count ≥ k;
+    *
+    * phase 2 — filter to hash-bucket ≤ cutoff (≈ k + stratum/256 survivors,
+    * uniform by construction of md5) and run the exact window on the
+    * survivors only.
+    *
+    * The naive window drags the biggest stratum — English, at web scale —
+    * through ONE task; this shape keeps the heavy pass an embarrassingly
+    * parallel filter. The oracle IS the naive window, so the green row is
+    * the two-phase == naive proof at driver scale (SignalQueriesSpec pins
+    * it again on a forced-partitioning fixture).
+    */
+  private[graft] def stratifiedSample(docs: DataFrame, stratum: String, k: Int)(implicit
+      spark: SparkSession
+  ): DataFrame = {
+    val h = md5(col("text").cast("binary"))
+    val bucketed = docs.select(
+      col(stratum),
+      col("doc_id"),
+      h.as("h"),
+      conv(substring(h, 1, 2), 16, 10).cast("int").as("b")
+    )
+    val counts = bucketed
+      .groupBy(stratum, "b")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getString(0))
+    val cutoffs = counts.map { case (s, rows) =>
+      val byBucket = rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)
+      var cum = 0L
+      var cut = 255
+      val it = byBucket.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (b, n) = it.next()
+        cum += n
+        if (cum >= k) { cut = b; found = true }
+      }
+      (s, cut)
+    }.toSeq
+    val cutDf = spark.createDataFrame(cutoffs).toDF(stratum, "cut")
+    val w = Window.partitionBy(col(stratum)).orderBy(col("h").asc, col("doc_id").asc)
+    bucketed
+      .join(broadcast(cutDf), Seq(stratum))
+      .filter(col("b") <= col("cut"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(stratum), col("rn"), col("doc_id"))
+  }
+
+  /** q60 — exact-k stratified sample by language: the [[StratK]] docs per
+    * lang with the smallest content hashes — deterministic (re-runs and
+    * re-shards pick the same sample), leakage-safe (selection depends only
+    * on content), and exact-k (unlike the rate-based q56 mix). Emits the
+    * full selected membership and order, so the oracle pins the sample
+    * itself, not a summary of it.
+    */
+  def q60StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    stratifiedSample(t(dir, "documents"), "lang", StratK).orderBy("lang", "rn")
+  }
+  val q60Sql: String =
+    s"""WITH h AS (SELECT lang, doc_id, md5(text) AS h FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |             row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+      |      FROM h)
+      |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM r WHERE rn <= $StratK ORDER BY lang, rn""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_tfidf_keywords" -> q58TfIdfKeywords _,
+    "q59_unigram_lm" -> q59UnigramLmScore _,
+    "q60_stratified_sample" -> q60StratifiedSample _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q58_tfidf_keywords" -> q58Sql,
+    "q59_unigram_lm" -> q59Sql,
+    "q60_stratified_sample" -> q60Sql
+  )
+}

@@ -122,10 +122,18 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("no live caches survive a pipeline run after release") {
+    // diff against the pre-run set, not global emptiness: earlier tests in
+    // this suite legitimately leave engine state cached (the crawl-mode
+    // test's RoundDriver keeps its live state pinned until shutdown), and
+    // the ContextCleaner GC-unpersists those leftovers at nondeterministic
+    // times — asserting the GLOBAL map is empty made this test flaky on
+    // both counts. The pipeline's own contract is: release() frees every
+    // cache the run created.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (curated, _, release) = CorpusPipeline.curate(spark, fixture)
     curated.count()
     release()
-    val live = spark.sparkContext.getPersistentRDDs
-    assert(live.isEmpty, s"leaked caches: ${live.keys.mkString(",")}")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"caches leaked by the pipeline run: ${leaked.mkString(",")}")
   }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.SignalQueries
+
+/** Pins the corpus-signal operators (q58-q60) on planted fixtures:
+  *
+  *  - q58: a doc's repeated rare term ranks first; a term in more than
+  *    half the corpus is excluded (the stopword/mega-key guard),
+  *  - q59: a doc made of corpus-rare tokens scores strictly below a doc
+  *    made of corpus-common tokens,
+  *  - q60: the two-phase bucket-cutoff sample is row-identical to the
+  *    naive per-stratum window under FORCED multi-partitioning, including
+  *    a stratum smaller than k.
+  */
+class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.core.Sessions.local(4, appName = "signal-queries-spec")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sigfix").toString
+    rows.toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  // ---------------------------------------------------------------- q58
+
+  test("q58: repeated rare term ranks first; corpus-majority terms are excluded") {
+    // 'common' appears in all 4 docs (df=4 > N/2=2 → excluded);
+    // doc 1 repeats 'zebra' (tf=3, df=1) — its top keyword.
+    val dir = writeDocs(
+      Seq(
+        (1L, "common zebra zebra zebra apple", "en"),
+        (2L, "common apple banana", "en"),
+        (3L, "common cherry", "en"),
+        (4L, "common dates", "en")
+      )
+    )
+    val out = SignalQueries
+      .q58TfIdfKeywords(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.contains((1L, 1L, "zebra")), s"zebra must be doc 1's top keyword: ${out.mkString(",")}")
+    assert(!out.exists(_._3 == "common"), "a term in more than half the corpus is never a keyword")
+    // 'apple' has df=2 (docs 1,2); 2*2 <= 4 so it stays eligible
+    assert(out.exists(_._3 == "apple"))
+  }
+
+  // ---------------------------------------------------------------- q59
+
+  test("q59: a doc of corpus-rare tokens scores below a doc of corpus-common tokens") {
+    // 'aaa' dominates the corpus; doc 9's tokens are hapaxes.
+    val commonText = Seq.fill(20)("aaa").mkString(" ")
+    val dir = writeDocs(
+      Seq(
+        (1L, commonText, "en"),
+        (2L, commonText, "en"),
+        (3L, commonText, "en"),
+        (9L, "qqq www eee rrr ttt", "en")
+      )
+    )
+    val out = SignalQueries
+      .q59UnigramLmScore(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    assert(out(9L) < out(1L), s"hapax doc must score lower: ${out.mkString(",")}")
+    assert(out(1L) === out(2L) && out(2L) === out(3L), "identical docs score identically")
+  }
+
+  // ---------------------------------------------------------------- q60
+
+  test("q60: two-phase stratified sample equals the naive window under forced partitioning") {
+    val sp = spark; import sp.implicits._
+    implicit val s: SparkSession = spark
+    val rng = new scala.util.Random(7)
+    // 3 strata: big (400), medium (120), tiny (5 < k) — tiny must yield all 5
+    val rows = (0 until 400).map(i => (i.toLong, s"big doc $i ${rng.nextInt()}", "en")) ++
+      (0 until 120).map(i => (1000L + i, s"med doc $i ${rng.nextInt()}", "de")) ++
+      (0 until 5).map(i => (2000L + i, s"tiny doc $i", "zh"))
+    val docs = rows.toDF("doc_id", "text", "lang").repartition(7)
+    val k = 50
+    val twoPhase = SignalQueries
+      .stratifiedSample(docs, "lang", k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val naive = docs
+      .select(col("lang"), col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("rn", row_number().over(Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+      .filter(col("rn") <= k)
+      .select("lang", "rn", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(twoPhase.toSeq === naive.toSeq)
+    val byLang = twoPhase.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 50, "de" -> 50, "zh" -> 5), s"exact-k per stratum (all of an under-k stratum): $byLang")
+  }
+}
