@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q61,q33 restricts the dump (prefix match) —
+    // for spot-checking one query at a larger sf; the driver leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val queries = only match {
+      case Some(pfx) => SparkEntry.queries.filter { case (n, _) => pfx.exists(n.startsWith) }
+      case None      => SparkEntry.queries
+    }
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

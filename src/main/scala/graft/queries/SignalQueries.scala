@@ -207,15 +207,107 @@ object SignalQueries {
       |      FROM h)
       |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM r WHERE rn <= $StratK ORDER BY lang, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+
+  private[graft] val KmeansK = 8
+  private[graft] val KmeansIters = 2
+
+  /** Lloyd-iteration k-means over an embedding column as pure DataFrame
+    * ops — the training pass that upgrades the sign-bucket IVF family
+    * (q27/q28/q38/q46) to TRAINED centroids. Per iteration: one corpus
+    * scan × a broadcast k-row centroid table (distance = codegen'd
+    * `zip_with`+`aggregate` fold, no row blowup), argmin via a per-vector
+    * window (k rows each), then a (k × dim)-key mean — the only shuffle,
+    * and it carries (cid, pos) partial sums, never vectors. Nothing is
+    * ever collected; centroids stay a k-row DataFrame.
+    *
+    * Cross-engine determinism: init = the k lowest vec_ids (no RNG);
+    * distances and centroid coordinates are rounded (4 / 6 decimals) each
+    * iteration on BOTH sides, so sub-rounding float noise — summation
+    * order, fold direction — cannot flip an argmin or drift iteration 2;
+    * argmin ties break by cid.
+    */
+  private[graft] def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val embD = emb.select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    var cent = embD.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("v").as("c"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+    var assign: DataFrame = null
+    for (it <- 1 to iters) {
+      assign = embD
+        .crossJoin(broadcast(cent))
+        .withColumn(
+          "dist",
+          round(expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d)"), 4)
+        )
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn", "c")
+      if (it < iters)
+        cent = assign
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(round(avg("x"), 6).as("cv"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+    }
+    val norm = cent.select(col("cid"), round(expr("aggregate(c, 0D, (acc, x) -> acc + x * x)"), 4).as("c_sq_norm"))
+    assign
+      .groupBy("cid")
+      .agg(
+        count(lit(1)).as("n_vec"),
+        min("vec_id").as("first_vec"),
+        max("vec_id").as("last_vec"),
+        round(sum("dist"), 4).as("sum_dist")
+      )
+      .join(broadcast(norm), Seq("cid"))
+      .select("cid", "n_vec", "first_vec", "last_vec", "sum_dist", "c_sq_norm")
+  }
+
+  /** q61 — k-means-trained IVF partitioning: [[KmeansIters]] Lloyd
+    * iterations from the deterministic k-lowest-id init, reported as the
+    * per-cluster manifest (membership count, id range, within-cluster
+    * rounded-distance sum, centroid squared norm). The oracle replays the
+    * identical iterations relationally in DuckDB, so the green row pins
+    * the whole training trajectory, not just the final histogram.
+    */
+  def q61KmeansIvf(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    kmeansAssign(t(dir, "embeddings"), KmeansK, KmeansIters).orderBy("cid")
+  }
+  val q61Sql: String =
+    s"""WITH e AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+      |                  CAST(unnest(embedding) AS DOUBLE) AS x
+      |           FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, pos, x AS c FROM e WHERE vec_id < $KmeansK),
+      |d1 AS (SELECT e.vec_id, c.cid, round(sum((e.x - c.c)*(e.x - c.c)), 4) AS dist
+      |       FROM e JOIN c0 c USING (pos) GROUP BY e.vec_id, c.cid),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d1)
+      |       WHERE rn = 1),
+      |c1 AS (SELECT a1.cid, e.pos, round(avg(e.x), 6) AS c
+      |       FROM e JOIN a1 USING (vec_id) GROUP BY a1.cid, e.pos),
+      |d2 AS (SELECT e.vec_id, c.cid, round(sum((e.x - c.c)*(e.x - c.c)), 4) AS dist
+      |       FROM e JOIN c1 c USING (pos) GROUP BY e.vec_id, c.cid),
+      |a2 AS (SELECT vec_id, cid, dist FROM (
+      |         SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d2)
+      |       WHERE rn = 1),
+      |norm AS (SELECT cid, CAST(round(sum(c*c), 4) AS DOUBLE) AS c_sq_norm FROM c1 GROUP BY cid)
+      |SELECT a2.cid, count(*) AS n_vec, min(a2.vec_id) AS first_vec, max(a2.vec_id) AS last_vec,
+      |       CAST(round(sum(a2.dist), 4) AS DOUBLE) AS sum_dist,
+      |       any_value(norm.c_sq_norm) AS c_sq_norm
+      |FROM a2 JOIN norm USING (cid) GROUP BY a2.cid ORDER BY a2.cid""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_tfidf_keywords" -> q58TfIdfKeywords _,
     "q59_unigram_lm" -> q59UnigramLmScore _,
-    "q60_stratified_sample" -> q60StratifiedSample _
+    "q60_stratified_sample" -> q60StratifiedSample _,
+    "q61_kmeans_ivf" -> q61KmeansIvf _
   )
 
   val oracles: Map[String, String] = Map(
     "q58_tfidf_keywords" -> q58Sql,
     "q59_unigram_lm" -> q59Sql,
-    "q60_stratified_sample" -> q60Sql
+    "q60_stratified_sample" -> q60Sql,
+    "q61_kmeans_ivf" -> q61Sql
   )
 }

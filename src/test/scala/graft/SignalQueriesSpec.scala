@@ -80,6 +80,35 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) === out(2L) && out(2L) === out(3L), "identical docs score identically")
   }
 
+  // ---------------------------------------------------------------- q61
+
+  test("q61: Lloyd iterations recover a planted two-cluster structure from lowest-id init") {
+    val sp = spark; import sp.implicits._
+    // even ids huddle near the origin, odd ids near (10, 10, 10, 10);
+    // init centroids are vec 0 (cluster A member) and vec 1 (cluster B
+    // member), so two iterations must partition exactly by parity
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array(base + (i % 7) * 0.01f, base - (i % 5) * 0.01f, base, base + 0.02f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = SignalQueries
+      .kmeansAssign(emb, k = 2, iters = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet === Set(0L, 1L))
+    assert(out(0L) === ((20L, 0L, 38L)), s"cluster 0 = the 20 even ids: $out")
+    assert(out(1L) === ((20L, 1L, 39L)), s"cluster 1 = the 20 odd ids: $out")
+    // determinism: a re-run (fresh plan) yields the identical manifest
+    val again = SignalQueries
+      .kmeansAssign(emb.repartition(5), k = 2, iters = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(again === out)
+  }
+
   // ---------------------------------------------------------------- q60
 
   test("q60: two-phase stratified sample equals the naive window under forced partitioning") {
