@@ -4,11 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Corpus signal / selection operators layered on the documents table:
-  * TF-IDF keyword extraction (q58), unigram-LM log-probability quality
-  * scoring (q59, the KenLM-perplexity-filter shape of CCNet), and exact-k
-  * deterministic stratified sampling (q60, the two-phase bucket-cutoff +
-  * rank form that never total-sorts a stratum).
+/** Corpus & crawl signal operators: TF-IDF keyword extraction (q58),
+  * unigram-LM log-probability quality scoring (q59, the
+  * KenLM-perplexity-filter shape of CCNet), exact-k deterministic
+  * stratified sampling (q60, the two-phase bucket-cutoff + rank form that
+  * never total-sorts a stratum), k-means-trained IVF (q61), change-rate
+  * recrawl scheduling (q62), and HITS hubs/authorities (q63).
   *
   * Same cross-engine parity discipline as [[TextQueries]]: ranking keys are
   * integers/strings wherever a double's last ulp could reorder engines;
@@ -297,17 +298,157 @@ object SignalQueries {
       |       any_value(norm.c_sq_norm) AS c_sq_norm
       |FROM a2 JOIN norm USING (cid) GROUP BY a2.cid ORDER BY a2.cid""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+
+  private[graft] val RecrawlMinDays = 0.25
+  private[graft] val RecrawlMaxDays = 30.0
+
+  /** q62 — change-rate-driven recrawl scheduling: the Cho/Garcia-Molina
+    * freshness policy every production crawler needs and the reference
+    * never grew (its fetcher refetches on demand only,
+    * /root/reference/pkg/pipe/fetcher/fetcher.go:70-143). Each entity's
+    * observation history → a Poisson change-rate estimate
+    * (n−1 changes over the observed span) → recrawl interval = 1/rate
+    * clamped to [[RecrawlMinDays]]..[[RecrawlMaxDays]] days, tiered for
+    * the scheduler. One groupBy over the history table — count/min/max
+    * only, so every derived double comes from IDENTICAL integers
+    * (microsecond epochs) in both engines: no summation noise anywhere,
+    * the one float-exact query in the signal family. Scale shape: a
+    * single entity-key aggregation, map-side combinable; the tier
+    * predicate evaluates on the rounded interval so the cut is stable.
+    */
+  def q62RecrawlIntervals(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    recrawlIntervals(t(dir, "events")).orderBy("user_id")
+  }
+
+  /** Core of q62 over any (user_id, ts) observation history. */
+  private[graft] def recrawlIntervals(events: DataFrame): DataFrame = {
+    val dayUs = 86400e6
+    val agg = events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_obs"),
+        // parquet carries TIMESTAMP_NTZ; the cast is tz-safe here because
+        // only the DIFFERENCE is used, so any session-tz offset cancels
+        (unix_micros(max(col("ts")).cast("timestamp")) - unix_micros(min(col("ts")).cast("timestamp"))).as("span_us")
+      )
+      .filter(col("n_obs") >= 2 && col("span_us") > 0)
+    val recrawl = least(
+      lit(RecrawlMaxDays),
+      greatest(lit(RecrawlMinDays), col("span_us") / ((col("n_obs") - 1) * lit(dayUs)))
+    )
+    agg
+      .select(
+        col("user_id"),
+        col("n_obs"),
+        round(col("span_us") / lit(dayUs), 4).as("span_days"),
+        round(recrawl, 4).as("recrawl_days")
+      )
+      .withColumn(
+        "tier",
+        when(col("recrawl_days") < 1.0, "daily")
+          .when(col("recrawl_days") < 7.0, "weekly")
+          .otherwise("monthly")
+      )
+  }
+  val q62Sql: String =
+    s"""WITH a AS (SELECT user_id, count(*) AS n_obs,
+      |                 epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+      |          FROM events GROUP BY user_id),
+      |f AS (SELECT user_id, n_obs, span_us,
+      |             least($RecrawlMaxDays, greatest($RecrawlMinDays,
+      |                   CAST(span_us AS DOUBLE) / ((n_obs - 1) * 86400e6))) AS rc
+      |      FROM a WHERE n_obs >= 2 AND span_us > 0)
+      |SELECT user_id, n_obs,
+      |       CAST(round(CAST(span_us AS DOUBLE) / 86400e6, 4) AS DOUBLE) AS span_days,
+      |       CAST(round(rc, 4) AS DOUBLE) AS recrawl_days,
+      |       CASE WHEN round(rc, 4) < 1.0 THEN 'daily'
+      |            WHEN round(rc, 4) < 7.0 THEN 'weekly'
+      |            ELSE 'monthly' END AS tier
+      |FROM f ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+
+  /** q63 — HITS hubs/authorities (2 unrolled iterations from the uniform
+    * start) over q17's derived customer/orders graph: the OTHER classic
+    * link-rank estimator, complementing the walk-based PageRank family
+    * (U5/U6/q17/q29/q43). Each iteration is one edge-key join + one
+    * node-key aggregation + a broadcast scalar normalize — the textbook
+    * bulk-synchronous shape, no per-node state on the driver. Scores are
+    * normalized to sum 1 and rounded to 6 per iteration on BOTH sides, so
+    * group-sum ordering noise (~1e-13) cannot drift iteration 2; the
+    * oracle unrolls the same two iterations as CTEs.
+    */
+  def q63Hits(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val n = t(dir, "customer").count()
+    val nodes = t(dir, "customer").select(col("c_custkey").cast("long").as("node"))
+    // same deterministic edge derivation as q17 (RelationalQueries.scala)
+    val edges = t(dir, "orders")
+      .select(
+        col("o_custkey").cast("long").as("src"),
+        ((col("o_orderkey") * 7) % n + 1).cast("long").as("dst")
+      )
+      .distinct()
+    hits(nodes, edges).orderBy("node")
+  }
+
+  /** Core of q63 over any (node) / (src, dst) graph. */
+  private[graft] def hits(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val tot = scores.agg(sum(col("v"))).first().getDouble(0)
+      scores.select(col("node"), round(col("v") / lit(tot), 6).as(c))
+    }
+    // a1 ∝ in-degree (uniform h0 cancels in the normalize)
+    val a1 = normalized(edges.groupBy("dst").agg(count(lit(1)).cast("double").as("v")).withColumnRenamed("dst", "node"), "a")
+    val h1 = normalized(
+      edges.join(a1, edges("dst") === a1("node")).groupBy("src").agg(sum("a").as("v")).withColumnRenamed("src", "node"),
+      "h"
+    )
+    val a2 = normalized(
+      edges.join(h1, edges("src") === h1("node")).groupBy("dst").agg(sum("h").as("v")).withColumnRenamed("dst", "node"),
+      "a"
+    )
+    nodes
+      .join(h1, Seq("node"), "left")
+      .join(a2, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0.0)).as("hub"), coalesce(col("a"), lit(0.0)).as("auth"))
+  }
+  val q63Sql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM customer),
+      |e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+      |                      CAST((o_orderkey * 7) % (SELECT n FROM nn) + 1 AS BIGINT) AS dst
+      |      FROM orders),
+      |a1r AS (SELECT dst AS node, CAST(count(*) AS DOUBLE) AS v FROM e GROUP BY dst),
+      |a1 AS (SELECT node, round(v / (SELECT sum(v) FROM a1r), 6) AS a FROM a1r),
+      |h1r AS (SELECT e.src AS node, sum(a1.a) AS v FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+      |h1 AS (SELECT node, round(v / (SELECT sum(v) FROM h1r), 6) AS h FROM h1r),
+      |a2r AS (SELECT e.dst AS node, sum(h1.h) AS v FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+      |a2 AS (SELECT node, round(v / (SELECT sum(v) FROM a2r), 6) AS a FROM a2r)
+      |SELECT c.c_custkey AS node,
+      |       CAST(coalesce(h1.h, 0) AS DOUBLE) AS hub,
+      |       CAST(coalesce(a2.a, 0) AS DOUBLE) AS auth
+      |FROM customer c
+      |LEFT JOIN h1 ON h1.node = c.c_custkey
+      |LEFT JOIN a2 ON a2.node = c.c_custkey
+      |ORDER BY node""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_tfidf_keywords" -> q58TfIdfKeywords _,
     "q59_unigram_lm" -> q59UnigramLmScore _,
     "q60_stratified_sample" -> q60StratifiedSample _,
-    "q61_kmeans_ivf" -> q61KmeansIvf _
+    "q61_kmeans_ivf" -> q61KmeansIvf _,
+    "q62_recrawl_intervals" -> q62RecrawlIntervals _,
+    "q63_hits" -> q63Hits _
   )
 
   val oracles: Map[String, String] = Map(
     "q58_tfidf_keywords" -> q58Sql,
     "q59_unigram_lm" -> q59Sql,
     "q60_stratified_sample" -> q60Sql,
-    "q61_kmeans_ivf" -> q61Sql
+    "q61_kmeans_ivf" -> q61Sql,
+    "q62_recrawl_intervals" -> q62Sql,
+    "q63_hits" -> q63Sql
   )
 }

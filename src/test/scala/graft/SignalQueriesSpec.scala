@@ -109,6 +109,51 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === out)
   }
 
+  // ---------------------------------------------------------------- q62
+
+  test("q62: recrawl tiers and clamps land exactly where the formula says") {
+    val sp = spark; import sp.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hours: Double) = new java.sql.Timestamp(t0.getTime + (hours * 3600 * 1000).toLong)
+    val events = Seq(
+      (1L, at(0)), (1L, at(12)),            // span 0.5 d / 1 change → 0.5 → daily
+      (2L, at(0)), (2L, at(480)),           // 20 d → monthly
+      (3L, at(0)), (3L, at(0.01)),          // tiny span → clamped to 0.25 → daily
+      (4L, at(0)),                          // single obs → excluded
+      (5L, at(0)), (5L, at(72)), (5L, at(144)) // 6 d / 2 changes → 3 d → weekly
+    ).toDF("user_id", "ts")
+    val out = SignalQueries
+      .recrawlIntervals(events)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(out === Map(
+      1L -> ((0.5, "daily")),
+      2L -> ((20.0, "monthly")),
+      3L -> ((0.25, "daily")),
+      5L -> ((3.0, "weekly"))
+    ), s"got $out")
+  }
+
+  // ---------------------------------------------------------------- q63
+
+  test("q63: HITS on a 2-hub star puts all authority on the shared target") {
+    val sp = spark; import sp.implicits._
+    // 1→3, 2→3, 3→4: after one full iteration the hubs are 1,2 (0.4 each)
+    // and the dominant authority is 3 (0.8), all exactly computable
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = SignalQueries
+      .hits(nodes, edges)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(out(1L) === ((0.4, 0.0)))
+    assert(out(2L) === ((0.4, 0.0)))
+    assert(out(3L)._1 === 0.2 && out(3L)._2 === 0.8)
+    assert(out(4L) === ((0.0, 0.2)))
+  }
+
   // ---------------------------------------------------------------- q60
 
   test("q60: two-phase stratified sample equals the naive window under forced partitioning") {
