@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CurationQueries, EngineQueries, RelationalQueries, SignalQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, CurationQueries, EngineQueries, RelationalQueries, SignalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,7 +36,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ TextQueries.all ++ EngineQueries.all ++ CurationQueries.all ++ SignalQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ EngineQueries.all ++ CurationQueries.all ++ SignalQueries.all ++ AnalyticsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Engine-native ops (q29-q32) are omitted →
@@ -44,5 +44,5 @@ object SparkEntry {
     * full oracle.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TextQueries.oracles ++ EngineQueries.oracles ++ CurationQueries.oracles ++ SignalQueries.oracles
+    RelationalQueries.oracles ++ TextQueries.oracles ++ EngineQueries.oracles ++ CurationQueries.oracles ++ SignalQueries.oracles ++ AnalyticsQueries.oracles
 }

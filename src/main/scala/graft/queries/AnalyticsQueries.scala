@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph/event analytics operators rounding out the engine's query surface:
+  * degree-ordered triangle counting (q64 — the canonical "think about the
+  * skew before you join" graph op), inactivity-gap sessionization (q65),
+  * and an ordered conversion funnel (q66). All three are integer/timestamp
+  * exact — no doubles anywhere a summation order could bite — so their
+  * DuckDB oracles are bit-exact, no rounding discipline needed.
+  */
+object AnalyticsQueries {
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- q64
+
+  /** q64 — triangle counting by degree orientation over q17's derived
+    * customer/orders graph. The naive triangle join explodes on hubs: a
+    * degree-d node contributes d² wedge candidates, and a web-scale hub
+    * (d ~ 10^6) is a quadratic shuffle key. The standard fix, used here:
+    * make edges undirected-distinct, then orient every edge from the
+    * LOWER-(degree, id) endpoint to the higher one — each triangle is
+    * counted exactly once from its minimum-rank corner, and the wedge join
+    * fans out per node by its ORIENTED out-degree, which is O(√m) for any
+    * graph (arboricity bound) no matter how skewed the raw degrees. Two
+    * equi-joins, all integer keys; per-node counts + the global total.
+    */
+  def q64Triangles(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val n = t(dir, "customer").count()
+    val dir0 = t(dir, "orders")
+      .select(
+        col("o_custkey").cast("long").as("src"),
+        ((col("o_orderkey") * 7) % n + 1).cast("long").as("dst")
+      )
+    triangleCounts(dir0)
+      .orderBy(col("n_triangles").desc, col("node").asc)
+      .limit(20)
+  }
+
+  /** Core of q64 over any directed (src, dst) edge list: per-node triangle
+    * participation counts in the undirected simple graph.
+    */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
+    val dir0 = edges.filter(col("src") =!= col("dst"))
+    // undirected-distinct: canonical (min, max) form
+    val und = dir0
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und
+      .select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("d"))
+    // orient by (degree, id) rank: from lower to higher
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b"))
+        .as("u"),
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a"))
+        .as("v")
+    )
+    // wedges from each min-rank corner, closed against oriented edges
+    val e1 = oriented.select(col("u"), col("v").as("x"))
+    val e2 = oriented.select(col("u"), col("v").as("y"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("x") < col("y"))
+    val tri = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    // per-corner participation: every triangle credits all three nodes
+    tri
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+  val q64Sql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM customer),
+      |d0 AS (SELECT CAST(o_custkey AS BIGINT) AS src,
+      |              CAST((o_orderkey * 7) % (SELECT n FROM nn) + 1 AS BIGINT) AS dst
+      |       FROM orders),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM d0 WHERE src <> dst),
+      |deg AS (SELECT node, count(*) AS d FROM (
+      |          SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+      |        GROUP BY node),
+      |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u,
+      |             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS v
+      |      FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+      |tri AS (SELECT e1.u, e1.v AS x, e2.v AS y
+      |        FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+      |        JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |per AS (SELECT node, count(*) AS n_triangles FROM (
+      |          SELECT u AS node FROM tri UNION ALL
+      |          SELECT x AS node FROM tri UNION ALL
+      |          SELECT y AS node FROM tri)
+      |        GROUP BY node)
+      |SELECT node, n_triangles FROM per
+      |ORDER BY n_triangles DESC, node ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+
+  /** Session inactivity gap: a new session starts when a user's gap from
+    * their previous event exceeds 30 minutes — the classic web-analytics
+    * convention.
+    */
+  private[graft] val SessionGapMin = 30L
+
+  /** q65 — sessionization + per-user session summary. Per-user event
+    * ordering (lag → gap > 30 min → running sum of session starts) is a
+    * user-keyed window — the scale-safe kind: partitions are users, never
+    * the global stream (contrast q57's global prefix sum, which needed the
+    * two-phase form). Output is the per-user summary, all integers:
+    * session count, largest session, total in-session minutes.
+    */
+  def q65Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    val ev = t(dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val gapUs = SessionGapMin * 60L * 1000000L
+    val sess = ev
+      .withColumn("prev", lag("ts_us", 1).over(byUser))
+      .withColumn("new_s", when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess", sum("new_s").over(byUser))
+    sess
+      .groupBy("user_id", "sess")
+      // `div`, not `/`: Spark's `/` on longs returns DOUBLE and a cast back
+      // truncates while DuckDB's CAST rounds — integer division on both
+      // sides keeps the oracle bit-exact
+      .agg(count(lit(1)).as("n_ev"), expr("(max(ts_us) - min(ts_us)) div 60000000").as("mins"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max("n_ev").as("max_session_events"),
+        sum("mins").as("total_session_mins")
+      )
+      .orderBy("user_id")
+  }
+  val q65Sql: String = {
+    val gapUs = SessionGapMin * 60L * 1000000L
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |g AS (SELECT user_id, event_id, ts_us,
+      |             CASE WHEN lag(ts_us) OVER w IS NULL
+      |                    OR ts_us - lag(ts_us) OVER w > $gapUs THEN 1 ELSE 0 END AS new_s
+      |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+      |s AS (SELECT user_id, ts_us,
+      |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |      FROM g),
+      |per AS (SELECT user_id, sess, count(*) AS n_ev,
+      |               (max(ts_us) - min(ts_us)) // 60000000 AS mins
+      |        FROM s GROUP BY user_id, sess)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       max(n_ev) AS max_session_events,
+      |       CAST(sum(mins) AS BIGINT) AS total_session_mins
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q66
+
+  /** q66 — ordered conversion funnel signup → click → purchase: a user
+    * counts at stage k only with a stage-k event STRICTLY AFTER their
+    * stage-(k−1) entry time (first-touch attribution). Three user-key
+    * aggregations chained by broadcast-joinable per-user stage times —
+    * each stage's survivor set only shrinks, so the joins get cheaper down
+    * the funnel. All timestamps integer microseconds: exact.
+    */
+  def q66Funnel(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = t(dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val s1 = ev.filter(col("event_type") === "signup").groupBy("user_id").agg(min("ts_us").as("t1"))
+    val s2 = ev
+      .filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts_us") > col("t1"))
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t2"))
+    val s3 = ev
+      .filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts_us") > col("t2"))
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t3"))
+    val sp = spark; import sp.implicits._
+    Seq(
+      ("1_signup", s1.count()),
+      ("2_click_after_signup", s2.count()),
+      ("3_purchase_after_click", s3.count())
+    ).toDF("stage", "n_users")
+  }
+  val q66Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, min(ts_us) AS t2 FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts_us > t1 GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, min(ts_us) AS t3 FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY ev.user_id)
+      |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+      |UNION ALL SELECT '2_click_after_signup', count(*) FROM s2
+      |UNION ALL SELECT '3_purchase_after_click', count(*) FROM s3
+      |ORDER BY stage""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_triangles" -> q64Triangles _,
+    "q65_sessionize" -> q65Sessionize _,
+    "q66_funnel" -> q66Funnel _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q64_triangles" -> q64Sql,
+    "q65_sessionize" -> q65Sql,
+    "q66_funnel" -> q66Sql
+  )
+}

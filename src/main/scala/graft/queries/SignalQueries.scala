@@ -396,9 +396,11 @@ object SignalQueries {
 
   /** Core of q63 over any (node) / (src, dst) graph. */
   private[graft] def hits(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // broadcast-scalar normalize (the q56 idiom): no driver sync per
+    // iteration — the whole 2-iteration plan stays one lazy DAG
     def normalized(scores: DataFrame, c: String): DataFrame = {
-      val tot = scores.agg(sum(col("v"))).first().getDouble(0)
-      scores.select(col("node"), round(col("v") / lit(tot), 6).as(c))
+      val tot = scores.agg(sum(col("v")).as("__tot"))
+      scores.crossJoin(broadcast(tot)).select(col("node"), round(col("v") / col("__tot"), 6).as(c))
     }
     // a1 ∝ in-degree (uniform h0 cancels in the normalize)
     val a1 = normalized(edges.groupBy("dst").agg(count(lit(1)).cast("double").as("v")).withColumnRenamed("dst", "node"), "a")
