@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 /** Graph/event analytics operators rounding out the engine's query surface:
   * degree-ordered triangle counting (q64 — the canonical "think about the
   * skew before you join" graph op), inactivity-gap sessionization (q65),
-  * and an ordered conversion funnel (q66). All three are integer/timestamp
-  * exact — no doubles anywhere a summation order could bite — so their
-  * DuckDB oracles are bit-exact, no rounding discipline needed.
+  * an ordered conversion funnel (q66), last-click attribution as a
+  * joinless same-stream as-of (q67), and exact per-group percentiles
+  * (q68). q64-q67 are integer/timestamp exact — no doubles anywhere a
+  * summation order could bite — so their DuckDB oracles are bit-exact
+  * with no rounding discipline; q68 follows the standard 4-decimal round.
   */
 object AnalyticsQueries {
 
@@ -209,15 +211,107 @@ object AnalyticsQueries {
       |UNION ALL SELECT '3_purchase_after_click', count(*) FROM s3
       |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+
+  /** q67 — last-click attribution: for every purchase, the same user's
+    * most recent click at-or-before it. This is an AS-OF JOIN — and the
+    * Spark-first observation is that when both sides live in the SAME
+    * stream, it needs no join at all: one per-user ordered window pass
+    * carries the running "last click time" (`max(when(click, ts))` over
+    * unbounded-preceding — max skips nulls), and every purchase row reads
+    * its attribution off the frame. One shuffle on the user key, zero
+    * join build sides, no range-condition blowup. Ties (a click and a
+    * purchase on the same microsecond) break by event_id order, mirrored
+    * in the oracle. All integers via `div`.
+    */
+  def q67Attribution(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    attribution(
+      t(dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    ).orderBy("user_id")
+  }
+
+  /** Core of q67 over any (user_id, event_id, event_type, ts_us) stream. */
+  private[graft] def attribution(events: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("last_click", max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("last_click")).as("n_attributed"),
+        coalesce(expr("max((ts_us - last_click) div 60000000)"), lit(-1L)).as("max_lag_mins"),
+        coalesce(expr("sum((ts_us - last_click) div 60000000)"), lit(-1L)).as("sum_lag_mins")
+      )
+  }
+  val q67Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |a AS (SELECT user_id, event_type, ts_us,
+      |             max(CASE WHEN event_type = 'click' THEN ts_us END)
+      |               OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      |      FROM ev)
+      |SELECT user_id, count(*) AS n_purchases,
+      |       count(last_click) AS n_attributed,
+      |       coalesce(max((ts_us - last_click) // 60000000), -1) AS max_lag_mins,
+      |       coalesce(CAST(sum((ts_us - last_click) // 60000000) AS BIGINT), -1) AS sum_lag_mins
+      |FROM a WHERE event_type = 'purchase' GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+
+  /** q68 — exact per-group percentiles (p50/p90/p99 of order value per
+    * nation): Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * linear-interpolation definition, so the oracle is value-level after
+    * the standard 4-decimal rounding (the two engines may fuse the
+    * interpolation differently — 1-ulp noise, 9 orders of magnitude under
+    * the rounding). Exact percentile buffers each group, which is right
+    * for BOUNDED group counts like nations; an unbounded-cardinality
+    * grouping at 100 TB would switch to `approx_percentile` (t-digest,
+    * mergeable, bounded memory) and a rows-only check — documented here,
+    * deliberately not what this query pins.
+    */
+  def q68Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "orders")
+      .join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9D)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99D)"), 4).as("p99")
+      )
+      .orderBy("nation")
+  }
+  val q68Sql: String =
+    """SELECT n.n_name AS nation, count(*) AS n_orders,
+      |       CAST(round(quantile_cont(o.o_totalprice, 0.5), 4) AS DOUBLE) AS p50,
+      |       CAST(round(quantile_cont(o.o_totalprice, 0.9), 4) AS DOUBLE) AS p90,
+      |       CAST(round(quantile_cont(o.o_totalprice, 0.99), 4) AS DOUBLE) AS p99
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY nation""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_triangles" -> q64Triangles _,
     "q65_sessionize" -> q65Sessionize _,
-    "q66_funnel" -> q66Funnel _
+    "q66_funnel" -> q66Funnel _,
+    "q67_attribution" -> q67Attribution _,
+    "q68_percentiles" -> q68Percentiles _
   )
 
   val oracles: Map[String, String] = Map(
     "q64_triangles" -> q64Sql,
     "q65_sessionize" -> q65Sql,
-    "q66_funnel" -> q66Sql
+    "q66_funnel" -> q66Sql,
+    "q67_attribution" -> q67Sql,
+    "q68_percentiles" -> q68Sql
   )
 }

@@ -63,6 +63,24 @@ class AnalyticsQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) === ((1L, 1L, 0L)), s"user 2: one single-event session: $out")
   }
 
+  test("q67: attribution picks the LAST click at-or-before each purchase; unattributed stays -1") {
+    val sp = spark; import sp.implicits._
+    // user 1: click@0, click@5, purchase@7 (lag 2), purchase@8 (lag 3 —
+    //   still attributed to the click@5); user 2: purchase before any click
+    val events = Seq(
+      (1L, 1L, "click", 0L), (1L, 2L, "click", 300000000L),
+      (1L, 3L, "purchase", 420000000L), (1L, 4L, "purchase", 480000000L),
+      (2L, 5L, "purchase", 0L), (2L, 6L, "click", 60000000L)
+    ).toDF("user_id", "event_id", "event_type", "ts_us")
+    val out = AnalyticsQueries
+      .attribution(events)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) === ((2L, 2L, 3L, 5L)), s"both purchases attribute to the latest prior click: $out")
+    assert(out(2L) === ((1L, 0L, -1L, -1L)), s"purchase before any click is unattributed: $out")
+  }
+
   test("q66: funnel counts stages only when reached in order") {
     val sp = spark; import sp.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
