@@ -436,13 +436,86 @@ object SignalQueries {
       |LEFT JOIN a2 ON a2.node = c.c_custkey
       |ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+
+  private[graft] val PmiMinSupport = 3
+  private[graft] val PmiTopK = 20
+
+  /** q69 — collocation detection by adjacent-pair PMI: for consecutive
+    * token pairs, pmi = ln(c(a,b)·U² / (T·c(a)·c(b))) with U = total
+    * tokens, T = total bigrams — the word-level form of the scoring step a
+    * BPE merge pass (q45's successor) runs per iteration. Two corpus
+    * aggregations (bigram counts, unigram counts) + one two-key broadcast
+    * join; bigram keys are map-side combinable and the support threshold
+    * ([[PmiMinSupport]]) kills the noise tail BEFORE the join — the same
+    * pre-join volume guard as q47's df cap. Every count is an integer and
+    * the PMI argument is a single division of exact integer products, so
+    * both engines feed ln() the identical double; ordering is on the
+    * ROUNDED pmi (then the pair) so a 1-ulp ln() difference cannot reorder
+    * the top-k cut. Positions prefix-capped at [[TextQueries.NGramPrefixCap]]
+    * on both sides (the oracle's bounded-range trick can't enumerate
+    * unbounded lengths).
+    */
+  def q69PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cap = TextQueries.NGramPrefixCap
+    val toks = t(dir, "documents")
+      .select(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)").as("ws"))
+      .select(expr(s"slice(ws, 1, $cap)").as("ws"))
+    val uni = toks.select(explode(col("ws")).as("tok")).groupBy("tok").agg(count(lit(1)).as("c"))
+    val bi = toks
+      .filter(size(col("ws")) >= 2)
+      .select(
+        explode(
+          expr("transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))")
+        ).as("p")
+      )
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= PmiMinSupport)
+    val totU = uni.agg(sum("c")).first().getLong(0)
+    val totT = toks.filter(size(col("ws")) >= 2).select(sum(size(col("ws")) - 1)).first().getLong(0)
+    bi.join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
+      .select(
+        col("a"),
+        col("b"),
+        col("cab"),
+        round(
+          log((col("cab") * lit(totU) * lit(totU)).cast("double") / (lit(totT) * col("ca") * col("cb")).cast("double")),
+          4
+        ).as("pmi")
+      )
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(PmiTopK)
+  }
+  val q69Sql: String = {
+    val cap = TextQueries.NGramPrefixCap
+    s"""WITH w AS (SELECT list_slice(regexp_extract_all(lower(text), '$TokenRe'), 1, $cap) AS ws
+      |           FROM documents),
+      |uni AS (SELECT unnest(ws) AS tok FROM w),
+      |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+      |tu AS (SELECT CAST(count(*) AS BIGINT) AS u FROM uni),
+      |bi AS (SELECT ws[i] AS a, ws[i + 1] AS b
+      |       FROM w, (SELECT unnest(range(1, $cap)) AS i) r
+      |       WHERE len(ws) >= 2 AND i + 1 <= len(ws)),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bi),
+      |bc AS (SELECT a, b, count(*) AS cab FROM bi GROUP BY a, b HAVING count(*) >= $PmiMinSupport)
+      |SELECT bc.a, bc.b, bc.cab,
+      |       CAST(round(ln(CAST(bc.cab * tu.u * tu.u AS DOUBLE) / CAST(tt.t * ca.c * cb.c AS DOUBLE)), 4) AS DOUBLE) AS pmi
+      |FROM bc JOIN uc ca ON ca.tok = bc.a JOIN uc cb ON cb.tok = bc.b, tu, tt
+      |ORDER BY pmi DESC, bc.a ASC, bc.b ASC LIMIT $PmiTopK""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_tfidf_keywords" -> q58TfIdfKeywords _,
     "q59_unigram_lm" -> q59UnigramLmScore _,
     "q60_stratified_sample" -> q60StratifiedSample _,
     "q61_kmeans_ivf" -> q61KmeansIvf _,
     "q62_recrawl_intervals" -> q62RecrawlIntervals _,
-    "q63_hits" -> q63Hits _
+    "q63_hits" -> q63Hits _,
+    "q69_pmi_collocations" -> q69PmiCollocations _
   )
 
   val oracles: Map[String, String] = Map(
@@ -451,6 +524,7 @@ object SignalQueries {
     "q60_stratified_sample" -> q60Sql,
     "q61_kmeans_ivf" -> q61Sql,
     "q62_recrawl_intervals" -> q62Sql,
-    "q63_hits" -> q63Sql
+    "q63_hits" -> q63Sql,
+    "q69_pmi_collocations" -> q69Sql
   )
 }

@@ -154,6 +154,22 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) === ((0.0, 0.2)))
   }
 
+  // ---------------------------------------------------------------- q69
+
+  test("q69: a planted collocation outranks pairs of individually common words") {
+    // 'nnn yyy' always adjacent, each word nowhere else; 'the cat' also
+    // co-occurs 3 times but 'the' floods the corpus → much lower PMI
+    val dir = writeDocs(
+      Seq(
+        (1L, "the cat sat nnn yyy the dog ran the end", "en"),
+        (2L, "the cat ate nnn yyy the bird the pond", "en"),
+        (3L, "the cat ran nnn yyy the fish the lake", "en")
+      )
+    )
+    val top = SignalQueries.q69PmiCollocations(spark, dir).select("a", "b", "cab").head()
+    assert(top.getString(0) === "nnn" && top.getString(1) === "yyy" && top.getLong(2) === 3L, s"top pair: $top")
+  }
+
   // ---------------------------------------------------------------- q60
 
   test("q60: two-phase stratified sample equals the naive window under forced partitioning") {
