@@ -299,12 +299,80 @@ object AnalyticsQueries {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n.n_name ORDER BY nation""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+
+  /** Trailing-window length (rows, i.e. active days) for q71. */
+  private[graft] val BurstTrailDays = 7
+  /** Minimum trailing active days before a day can be judged a burst. */
+  private[graft] val BurstMinTrail = 3
+  /** Burst rule: today ≥ [[BurstMult]] × trailing mean. */
+  private[graft] val BurstMult = 2L
+
+  /** q71 — trailing-window burst detection: flag (entity, day) pairs whose
+    * event count is ≥ [[BurstMult]]× the entity's trailing mean over its
+    * previous [[BurstTrailDays]] active days. This is the crawler's
+    * hot-host detector — the signal a politeness budget allocator throttles
+    * on (a host whose new-URL rate doubles overnight is a crawler trap or
+    * a site migration; q62's Poisson rate covers the SLOW drift, this
+    * covers the spike). Scale shape: one entity/day aggregation (map-side
+    * combinable), then an entity-keyed bounded-frame window — partitions
+    * are entities, never the global stream, and the frame is O(1) rows.
+    * The burst predicate is ALL-INTEGER (`n·cnt ≥ mult·s` instead of
+    * `n ≥ mult·s/cnt`), so the cut is bit-exact across engines AND
+    * overflow-safe: n·cnt ≤ [[BurstTrailDays]]·max_daily_count. The two
+    * emitted doubles are single divisions of identical integers, rounded.
+    */
+  def q71BurstDetection(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val counts = t(dir, "events")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"))
+    burstDays(counts).orderBy("user_id", "day")
+  }
+
+  /** Core of q71 over any (user_id, day, n) daily-count table. */
+  private[graft] def burstDays(counts: DataFrame): DataFrame = {
+    val tw = Window
+      .partitionBy("user_id")
+      .orderBy(col("day").asc)
+      .rowsBetween(-BurstTrailDays, -1)
+    counts
+      .withColumn("cnt", count("n").over(tw))
+      .withColumn("s", sum("n").over(tw))
+      .filter(
+        col("cnt") >= BurstMinTrail && col("s") > 0 &&
+          col("n") * col("cnt") >= lit(BurstMult) * col("s")
+      )
+      .select(
+        col("user_id"),
+        col("day"),
+        col("n"),
+        col("cnt").as("trail_days"),
+        round(col("s").cast("double") / col("cnt"), 4).as("trail_mean"),
+        round((col("n") * col("cnt")).cast("double") / col("s"), 4).as("ratio")
+      )
+  }
+  val q71Sql: String =
+    s"""WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT user_id, day, n,
+      |             count(n) OVER tw AS cnt, sum(n) OVER tw AS s
+      |      FROM c WINDOW tw AS (PARTITION BY user_id ORDER BY day
+      |                           ROWS BETWEEN $BurstTrailDays PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, day, n, CAST(cnt AS BIGINT) AS trail_days,
+      |       CAST(round(CAST(s AS DOUBLE) / cnt, 4) AS DOUBLE) AS trail_mean,
+      |       CAST(round(CAST(n * cnt AS DOUBLE) / s, 4) AS DOUBLE) AS ratio
+      |FROM w WHERE cnt >= $BurstMinTrail AND s > 0 AND n * cnt >= $BurstMult * s
+      |ORDER BY user_id, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_triangles" -> q64Triangles _,
     "q65_sessionize" -> q65Sessionize _,
     "q66_funnel" -> q66Funnel _,
     "q67_attribution" -> q67Attribution _,
-    "q68_percentiles" -> q68Percentiles _
+    "q68_percentiles" -> q68Percentiles _,
+    "q71_burst_days" -> q71BurstDetection _
   )
 
   val oracles: Map[String, String] = Map(
@@ -312,6 +380,7 @@ object AnalyticsQueries {
     "q65_sessionize" -> q65Sql,
     "q66_funnel" -> q66Sql,
     "q67_attribution" -> q67Sql,
-    "q68_percentiles" -> q68Sql
+    "q68_percentiles" -> q68Sql,
+    "q71_burst_days" -> q71Sql
   )
 }

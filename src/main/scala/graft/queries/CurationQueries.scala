@@ -338,17 +338,112 @@ object CurationQueries {
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+
+  /** Training context window for q70 in tokens. Small enough that every
+    * test sf packs to hundreds of sequences; the production knob is the
+    * parameter on [[sequencePack]].
+    */
+  private[graft] val PackContextLen = 512L
+
+  /** Context-window sequence packing over any (orderable id, token count)
+    * corpus — the GPT-style concatenate-and-chunk step that turns a
+    * filtered corpus into fixed-length training sequences. Unlike q57's
+    * shards (a doc belongs wholly to its first byte's shard), packing
+    * SPLITS documents: doc i occupies the half-open token interval
+    * [start, start + n_tokens) of the concatenated stream and therefore
+    * contributes to every context window it overlaps. Emitted per window:
+    * contributing-doc count, boundary count (docs STARTING in the window —
+    * the attention-mask reset points), packed-token count (= the context
+    * length except for the final ragged window), and the doc-id range.
+    *
+    * Scale shape: the global token offset is [[withStartOffset]]'s
+    * distributed two-phase prefix sum (never a single-partition window);
+    * the explode fans each doc out to O(n_tokens/C + 1) windows, so total
+    * fan-out is O(corpus_tokens/C) rows spread uniformly over window keys
+    * — no hot key, and the window aggregation is map-side combinable. A
+    * pathological mega-document lands O(its_tokens/C) rows via ONE
+    * `sequence()` array; the extractor's TooBig gate (F1) bounds that
+    * upstream. All columns integer → the oracle is bit-exact.
+    */
+  private[graft] def sequencePack(
+      docs: DataFrame,
+      contextLen: Long
+  )(implicit spark: SparkSession): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    withStartOffset(docs, "doc_id", "n_tokens")
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+      // `div`, not `/` (the q65 discipline): long division on both engines
+      .withColumn("first_seq", expr(s"start_off div $contextLen"))
+      .withColumn("last_seq", expr(s"(end_off - 1) div $contextLen"))
+      .withColumn("seq", explode(expr("sequence(first_seq, last_seq)")))
+      .groupBy("seq")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("first_seq") === col("seq"), 1L).otherwise(0L)).as("n_starts"),
+        sum(
+          least(col("end_off"), (col("seq") + 1) * contextLen) -
+            greatest(col("start_off"), col("seq") * contextLen)
+        ).as("n_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc")
+      )
+  }
+
+  /** q70 — sequence-packing manifest at [[PackContextLen]] tokens over the
+    * documents table (tokens = [[SignalQueries.TokenRe]] matches, the q58/
+    * q59 tokenizer; empty docs are dropped — they occupy no interval). The
+    * oracle replays the packing with the naive single-window prefix sum,
+    * so the green row is the two-phase == window proof on the packed
+    * output itself (CurationQueriesSpec pins it again on a forced-
+    * partitioning fixture with a window-spanning doc).
+    */
+  def q70SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(lower(text), '${SignalQueries.TokenRe}', 0)"))
+          .cast("long")
+          .as("n_tokens")
+      )
+      .filter(col("n_tokens") > 0)
+    sequencePack(docs, PackContextLen).orderBy("seq")
+  }
+  val q70Sql: String = {
+    val c = PackContextLen
+    s"""WITH d AS (SELECT doc_id,
+      |                 CAST(len(regexp_extract_all(lower(text), '${SignalQueries.TokenRe}')) AS BIGINT) AS n_tokens
+      |          FROM documents),
+      |f AS (SELECT doc_id, n_tokens FROM d WHERE n_tokens > 0),
+      |o AS (SELECT doc_id, n_tokens,
+      |             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      |      FROM f),
+      |e AS (SELECT doc_id, n_tokens, s, s + n_tokens AS e2,
+      |             s // $c AS fs, (s + n_tokens - 1) // $c AS ls
+      |      FROM o),
+      |x AS (SELECT doc_id, s, e2, fs, unnest(range(fs, ls + 1)) AS seq FROM e)
+      |SELECT seq, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN fs = seq THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+      |       CAST(sum(least(e2, (seq + 1) * $c) - greatest(s, seq * $c)) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM x GROUP BY seq ORDER BY seq""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_dup_passages" -> q54DupPassages _,
     "q55_quality_keeper" -> q55QualityKeeper _,
     "q56_source_mixing" -> q56SourceMixing _,
-    "q57_shard_assign" -> q57ShardAssign _
+    "q57_shard_assign" -> q57ShardAssign _,
+    "q70_sequence_pack" -> q70SequencePack _
   )
 
   val oracles: Map[String, String] = Map(
     "q54_dup_passages" -> q54Sql,
     "q55_quality_keeper" -> q55Sql,
     "q56_source_mixing" -> q56Sql,
-    "q57_shard_assign" -> q57Sql
+    "q57_shard_assign" -> q57Sql,
+    "q70_sequence_pack" -> q70Sql
   )
 }

@@ -109,4 +109,30 @@ class AnalyticsQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "3_purchase_after_click" -> 1L // user 1 only
     ), s"got $out")
   }
+
+  test("q71: burst rule fires at exactly mult x trailing mean, needs min trailing days, frame slides") {
+    val sp = spark; import sp.implicits._
+    // user 1: days 1-3 at n=2 (trail builds), day 4 n=4 = exactly 2x mean
+    //   → flagged; day 5 n=3 < 2 x mean((2+2+2+4)/4 = 2.5) → not flagged
+    // user 2: only 2 trailing days before its spike → below BurstMinTrail,
+    //   never flagged however large the spike
+    // user 3: a huge day 1 then 7 quiet days — day 9's verdict uses only
+    //   the last 7 trailing rows, so the old spike has slid OUT of the
+    //   frame and a modest n=4 (2 x the quiet mean 2) IS flagged
+    val counts = (
+      Seq((1L, 1L, 2L), (1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 4L), (1L, 5L, 3L)) ++
+        Seq((2L, 1L, 1L), (2L, 2L, 1L), (2L, 3L, 100L)) ++
+        (Seq((3L, 1L, 1000L)) ++ (2L to 8L).map(d => (3L, d, 2L)) ++ Seq((3L, 9L, 4L)))
+    ).toDF("user_id", "day", "n")
+    val out = AnalyticsQueries
+      .burstDays(counts)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet === Set((1L, 4L), (3L, 9L)), s"got $out")
+    assert(out((1L, 4L)) === ((4L, 3L, 2.0, 2.0)))
+    // user 3 day 9: trailing frame = days 2-8 (7 rows, all n=2) — the
+    // day-1 spike is outside the 7-row frame
+    assert(out((3L, 9L)) === ((4L, 7L, 2.0, 2.0)))
+  }
 }

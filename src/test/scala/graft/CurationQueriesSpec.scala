@@ -234,4 +234,54 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(shards === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
   }
+
+  // ---------------------------------------------------------------- q70
+
+  test("q70: a window-spanning doc is split across windows, boundary accounting exact") {
+    val sp = spark; import sp.implicits._
+    implicit val s: SparkSession = spark
+    // C = 10. Concatenated stream: doc1 [0,4), doc2 [4,12) — SPANS the
+    // seq0/seq1 boundary — doc3 [12,22), doc4 [22,47) — spans THREE
+    // windows. Totals: 47 tokens → windows 0..4, last one ragged (7).
+    val docs = Seq((1L, 4L), (2L, 8L), (3L, 10L), (4L, 25L)).toDF("doc_id", "n_tokens")
+    val out = CurationQueries
+      .sequencePack(docs, contextLen = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(
+      out === Map(
+        0L -> ((2L, 2L, 10L, 1L, 2L)), // doc1 whole + doc2's first 6
+        1L -> ((2L, 1L, 10L, 2L, 3L)), // doc2's tail 2 + doc3's first 8
+        2L -> ((2L, 1L, 10L, 3L, 4L)), // doc3's tail 2 + doc4's first 8
+        3L -> ((1L, 0L, 10L, 4L, 4L)), // doc4 alone, mid-doc: zero starts
+        4L -> ((1L, 0L, 7L, 4L, 4L)) // ragged final window
+      ),
+      s"got $out"
+    )
+  }
+
+  test("q70: packing invariants hold under forced partitioning on a random corpus") {
+    val sp = spark; import sp.implicits._
+    implicit val s: SparkSession = spark
+    val rng = new scala.util.Random(7)
+    val c = 64L
+    val docs = (0 until 500)
+      .map(i => (i.toLong, 1L + rng.nextInt(200)))
+      .toDF("doc_id", "n_tokens")
+      .repartition(5)
+    val total = docs.agg(sum("n_tokens")).first().getLong(0)
+    val rows = CurationQueries
+      .sequencePack(docs, contextLen = c)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // windows are contiguous 0..last; every window except the last carries
+    // exactly C tokens; token mass and doc starts are conserved
+    assert(rows.map(_._1).toSeq === (0L until rows.length.toLong).toSeq)
+    assert(rows.dropRight(1).forall(_._4 == c), "non-final window not full")
+    assert(rows.map(_._4).sum === total)
+    assert(rows.map(_._3).sum === 500L)
+    assert(rows.last._4 === total - c * (rows.length - 1))
+  }
 }
