@@ -228,7 +228,11 @@ object SignalQueries {
     * order, fold direction — cannot flip an argmin or drift iteration 2;
     * argmin ties break by cid.
     */
-  private[graft] def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The Lloyd loop of [[kmeansAssign]], returning the raw per-vector
+    * assignment `(vec_id, v, cid, dist)` plus the final centroid table —
+    * exposed so q72's semantic dedup can block on the TRAINED cells.
+    */
+  private[graft] def kmeansFit(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val embD = emb.select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
     var cent = embD.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("v").as("c"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
@@ -251,6 +255,11 @@ object SignalQueries {
           .groupBy("cid")
           .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
     }
+    (assign, cent)
+  }
+
+  private[graft] def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (assign, cent) = kmeansFit(emb, k, iters)
     val norm = cent.select(col("cid"), round(expr("aggregate(c, 0D, (acc, x) -> acc + x * x)"), 4).as("c_sq_norm"))
     assign
       .groupBy("cid")
@@ -508,6 +517,100 @@ object SignalQueries {
       |ORDER BY pmi DESC, bc.a ASC, bc.b ASC LIMIT $PmiTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q72
+
+  /** Within-cell cosine threshold for q72: same bar as q41's verify. */
+  private[graft] val SemDedupTau = 0.35
+  /** Per-cell candidate cap for q72 (the q46 truncation form). */
+  private[graft] val SemDedupMaxCell = 4096
+
+  /** Capped within-cell cosine dedup over any (cid, vec_id, v[double])
+    * assignment: a vector is DROPPED when any LOWER-id cell-mate is within
+    * [[SemDedupTau]] cosine — the greedy keep-lowest rule, one pass, no
+    * connected components (a drop's `keeper` may itself be dropped; the
+    * paper's semantics, documented trade for the CC-free plan). Cells over
+    * `maxCell` are TRUNCATED to their first `maxCell` members by vec_id
+    * (the q46 candidate-cap form, NOT q41's drop-the-bucket form): a
+    * mega-cell is exactly where k-means collapsed the most-duplicated
+    * content, so dropping it would skip the dedup that matters most —
+    * truncation keeps O(cap²) work AND removes the cap's worth of dups;
+    * the tail past the cap is the documented recall trade, mirrored in the
+    * oracle's row_number cap.
+    */
+  private[graft] def semanticDedupDrops(asg: DataFrame, tau: Double, maxCell: Int): DataFrame = {
+    val wr = Window.partitionBy("cid").orderBy(col("vec_id").asc)
+    val e = asg
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") <= maxCell)
+      .drop("__rn")
+    val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val na = expr("aggregate(va, 0D, (acc, x) -> acc + x * x)")
+    val nb = expr("aggregate(vb, 0D, (acc, x) -> acc + x * x)")
+    val pairs = e
+      .select(col("cid"), col("vec_id").as("a"), col("v").as("va"))
+      .join(e.select(col("cid"), col("vec_id").as("b"), col("v").as("vb")), Seq("cid"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos_sim", round(dot / (sqrt(na) * sqrt(nb)), 4))
+      .filter(col("cos_sim") >= tau)
+    val wk = Window.partitionBy("b").orderBy(col("cos_sim").desc, col("a").asc)
+    pairs
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === 1)
+      .select(col("b").as("vec_id"), col("cid"), col("a").as("keeper"), col("cos_sim"))
+  }
+
+  /** q72 — semantic dedup (the SemDeDup shape, Abbas et al. 2023): block
+    * by q61's TRAINED k-means cells instead of q41's data-independent sign
+    * buckets, then drop every vector with a lower-id cell-mate above
+    * [[SemDedupTau]] cosine. Emits the dropped set with its best keeper
+    * and similarity — the actionable dedup deliverable. Scale shape: the
+    * assignment is [[kmeansFit]]'s broadcast-centroid scan (k rises with n
+    * so cells stay O(n/k)); pairing shuffles once on the cell key with the
+    * [[SemDedupMaxCell]] truncation guarding collapsed cells; the keeper
+    * window rides the pair output keyed by the dropped vector. Ordering
+    * and the threshold cut are on the ROUNDED cosine (then integer ids),
+    * the q41/q61 float discipline.
+    */
+  def q72SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val (assign, _) = kmeansFit(t(dir, "embeddings"), KmeansK, KmeansIters)
+    semanticDedupDrops(assign.select("cid", "vec_id", "v"), SemDedupTau, SemDedupMaxCell)
+      .orderBy("vec_id")
+  }
+  val q72Sql: String =
+    s"""WITH e AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+      |                  CAST(unnest(embedding) AS DOUBLE) AS x
+      |           FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, pos, x AS c FROM e WHERE vec_id < $KmeansK),
+      |d1 AS (SELECT e.vec_id, c.cid, round(sum((e.x - c.c)*(e.x - c.c)), 4) AS dist
+      |       FROM e JOIN c0 c USING (pos) GROUP BY e.vec_id, c.cid),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d1)
+      |       WHERE rn = 1),
+      |c1 AS (SELECT a1.cid, e.pos, round(avg(e.x), 6) AS c
+      |       FROM e JOIN a1 USING (vec_id) GROUP BY a1.cid, e.pos),
+      |d2 AS (SELECT e.vec_id, c.cid, round(sum((e.x - c.c)*(e.x - c.c)), 4) AS dist
+      |       FROM e JOIN c1 c USING (pos) GROUP BY e.vec_id, c.cid),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d2)
+      |       WHERE rn = 1),
+      |kept AS (SELECT vec_id, cid FROM (
+      |           SELECT vec_id, cid, row_number() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS rn FROM a2)
+      |         WHERE rn <= $SemDedupMaxCell),
+      |pairs AS (SELECT xa.cid, xa.vec_id AS a, xb.vec_id AS b
+      |          FROM kept xa JOIN kept xb ON xa.cid = xb.cid AND xa.vec_id < xb.vec_id),
+      |cos AS (SELECT p.cid, p.a, p.b,
+      |               round(sum(ea.x*eb.x) / (sqrt(sum(ea.x*ea.x)) * sqrt(sum(eb.x*eb.x))), 4) AS cos_sim
+      |        FROM pairs p JOIN e ea ON ea.vec_id = p.a
+      |                     JOIN e eb ON eb.vec_id = p.b AND eb.pos = ea.pos
+      |        GROUP BY p.cid, p.a, p.b),
+      |hit AS (SELECT cid, a, b, cos_sim FROM cos WHERE cos_sim >= $SemDedupTau)
+      |SELECT b AS vec_id, cid, a AS keeper, CAST(cos_sim AS DOUBLE) AS cos_sim FROM (
+      |  SELECT cid, a, b, cos_sim,
+      |         row_number() OVER (PARTITION BY b ORDER BY cos_sim DESC, a ASC) AS rn
+      |  FROM hit)
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_tfidf_keywords" -> q58TfIdfKeywords _,
     "q59_unigram_lm" -> q59UnigramLmScore _,
@@ -515,7 +618,8 @@ object SignalQueries {
     "q61_kmeans_ivf" -> q61KmeansIvf _,
     "q62_recrawl_intervals" -> q62RecrawlIntervals _,
     "q63_hits" -> q63Hits _,
-    "q69_pmi_collocations" -> q69PmiCollocations _
+    "q69_pmi_collocations" -> q69PmiCollocations _,
+    "q72_semantic_dedup" -> q72SemanticDedup _
   )
 
   val oracles: Map[String, String] = Map(
@@ -525,6 +629,7 @@ object SignalQueries {
     "q61_kmeans_ivf" -> q61Sql,
     "q62_recrawl_intervals" -> q62Sql,
     "q63_hits" -> q63Sql,
-    "q69_pmi_collocations" -> q69Sql
+    "q69_pmi_collocations" -> q69Sql,
+    "q72_semantic_dedup" -> q72Sql
   )
 }

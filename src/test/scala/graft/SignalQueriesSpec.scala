@@ -199,4 +199,41 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byLang = twoPhase.groupBy(_._1).view.mapValues(_.length).toMap
     assert(byLang === Map("en" -> 50, "de" -> 50, "zh" -> 5), s"exact-k per stratum (all of an under-k stratum): $byLang")
   }
+
+  // ---------------------------------------------------------------- q72
+
+  test("q72: near-dups drop within their trained cell, keeper is the lowest id, orthogonal vectors survive") {
+    val sp = spark; import sp.implicits._
+    // two well-separated cells seeded by init ids 0 and 1; one near-dup
+    // planted in each; id 4 is orthogonal to everything → kept
+    val emb = Seq(
+      (0L, Seq(10.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 10.0, 0.0, 0.0)),
+      (2L, Seq(9.9, 0.1, 0.0, 0.0)), // cell of 0, cos ≈ 1 → dropped, keeper 0
+      (3L, Seq(0.1, 9.9, 0.0, 0.0)), // cell of 1, cos ≈ 1 → dropped, keeper 1
+      (4L, Seq(0.0, 0.0, 10.0, 0.0)) // cos ≈ 0 with every cell-mate → kept
+    ).toDF("vec_id", "embedding")
+    val (assign, _) = SignalQueries.kmeansFit(emb, k = 2, iters = 2)
+    val drops = SignalQueries
+      .semanticDedupDrops(assign.select("cid", "vec_id", "v"), tau = 0.35, maxCell = 4096)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    assert(drops === Map(2L -> 0L, 3L -> 1L), s"got $drops")
+  }
+
+  test("q72: a collapsed mega-cell is truncated at the cap, dedup still removes the kept tail") {
+    val sp = spark; import sp.implicits._
+    // 60 identical vectors collapse into ONE cell; cap 50 → members 0-49
+    // kept, 1-49 all drop with keeper 0, 50-59 are the documented
+    // truncation recall trade (untouched, NOT deduped)
+    val emb = (0L until 60L).map(i => (i, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    val (assign, _) = SignalQueries.kmeansFit(emb, k = 2, iters = 2)
+    val drops = SignalQueries
+      .semanticDedupDrops(assign.select("cid", "vec_id", "v"), tau = 0.35, maxCell = 50)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    assert(drops === (1L to 49L).map(_ -> 0L).toMap, s"got $drops")
+  }
 }
