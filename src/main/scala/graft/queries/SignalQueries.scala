@@ -611,6 +611,59 @@ object SignalQueries {
       |  FROM hit)
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+
+  /** Co-occurrence window width for q73 (the GloVe default's spirit at
+    * fixture scale).
+    */
+  private[graft] val CoocWindow = 5
+  private[graft] val CoocMinCount = 3
+  private[graft] val CoocTopK = 50
+
+  /** q73 — windowed co-occurrence counts with 1/d distance weights: the
+    * GloVe/word2vec co-occurrence-matrix build, generalizing q69's
+    * adjacent-only bigrams to a [[CoocWindow]]-token window. Pair
+    * generation is a pure higher-order-function pipeline (nested
+    * `transform` → `flatten` → one explode) — no positions self-join, so
+    * the only shuffle is the (a, b) aggregation, which is map-side
+    * combinable exactly where it matters (stopword pairs are the hottest
+    * keys AND the most collapsible). Per-doc fan-out is O(len·W), prefix-
+    * capped at [[TextQueries.NGramPrefixCap]] on both sides. The count is
+    * integer-exact and ranks the output (ties broken by the pair), so the
+    * top-[[CoocTopK]] cut is ulp-stable; the 1/d weight sum is emitted
+    * rounded (order-insensitive at 4 decimals), never sorted on.
+    */
+  def q73Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cap = TextQueries.NGramPrefixCap
+    val gen = s"flatten(transform(sequence(1, size(ws) - 1), i -> " +
+      s"transform(sequence(i + 1, least(i + $CoocWindow, size(ws))), j -> " +
+      "struct(element_at(ws, i) AS a, element_at(ws, j) AS b, j - i AS d))))"
+    t(dir, "documents")
+      .select(expr(s"slice(regexp_extract_all(lower(text), '$TokenRe', 0), 1, $cap)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(gen)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.d").as("d"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n"), round(sum(lit(1.0) / col("d")), 4).as("wt"))
+      .filter(col("n") >= CoocMinCount)
+      .orderBy(col("n").desc, col("a").asc, col("b").asc)
+      .limit(CoocTopK)
+  }
+  val q73Sql: String = {
+    val cap = TextQueries.NGramPrefixCap
+    s"""WITH w0 AS (SELECT list_slice(regexp_extract_all(lower(text), '$TokenRe'), 1, $cap) AS ws
+      |            FROM documents),
+      |p AS (SELECT ws[i] AS a, ws[i + d] AS b, d
+      |      FROM w0, (SELECT unnest(range(1, $cap)) AS i) ii,
+      |                (SELECT unnest(range(1, ${CoocWindow + 1})) AS d) dd
+      |      WHERE i + d <= len(ws)),
+      |g AS (SELECT a, b, count(*) AS n, round(sum(1.0/d), 4) AS wt
+      |      FROM p GROUP BY a, b HAVING count(*) >= $CoocMinCount)
+      |SELECT a, b, n, CAST(wt AS DOUBLE) AS wt FROM g
+      |ORDER BY n DESC, a ASC, b ASC LIMIT $CoocTopK""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_tfidf_keywords" -> q58TfIdfKeywords _,
     "q59_unigram_lm" -> q59UnigramLmScore _,
@@ -619,7 +672,8 @@ object SignalQueries {
     "q62_recrawl_intervals" -> q62RecrawlIntervals _,
     "q63_hits" -> q63Hits _,
     "q69_pmi_collocations" -> q69PmiCollocations _,
-    "q72_semantic_dedup" -> q72SemanticDedup _
+    "q72_semantic_dedup" -> q72SemanticDedup _,
+    "q73_cooccurrence" -> q73Cooccurrence _
   )
 
   val oracles: Map[String, String] = Map(
@@ -630,6 +684,7 @@ object SignalQueries {
     "q62_recrawl_intervals" -> q62Sql,
     "q63_hits" -> q63Sql,
     "q69_pmi_collocations" -> q69Sql,
-    "q72_semantic_dedup" -> q72Sql
+    "q72_semantic_dedup" -> q72Sql,
+    "q73_cooccurrence" -> q73Sql
   )
 }

@@ -200,6 +200,30 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byLang === Map("en" -> 50, "de" -> 50, "zh" -> 5), s"exact-k per stratum (all of an under-k stratum): $byLang")
   }
 
+  // ---------------------------------------------------------------- q73
+
+  test("q73: window catches non-adjacent pairs with exact 1/d weights; beyond-window pairs don't count") {
+    // 'aaa xxx bbb' x3: (aaa,bbb) at d=2 -> n=3, wt=3*(1/2)=1.5 — invisible
+    // to q69's adjacent bigrams; (ccc,ddd) at d=6 > window 5 -> never a pair
+    val dir = writeDocs(
+      Seq(
+        (1L, "aaa xxx bbb", "en"),
+        (2L, "aaa xxx bbb", "en"),
+        (3L, "aaa xxx bbb", "en"),
+        (4L, "ccc fff ggg hhh iii jjj ddd", "en")
+      )
+    )
+    val out = SignalQueries
+      .q73Cooccurrence(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out((("aaa", "bbb"))) === ((3L, 1.5)), s"got $out")
+    assert(out((("aaa", "xxx"))) === ((3L, 3.0)))
+    assert(out((("xxx", "bbb"))) === ((3L, 3.0)))
+    assert(!out.keySet.exists { case (a, b) => a == "ccc" && b == "ddd" }, s"beyond-window pair leaked: $out")
+  }
+
   // ---------------------------------------------------------------- q72
 
   test("q72: near-dups drop within their trained cell, keeper is the lowest id, orthogonal vectors survive") {
