@@ -664,6 +664,76 @@ object SignalQueries {
       |ORDER BY n DESC, a ASC, b ASC LIMIT $CoocTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q74
+
+  private[graft] val DsirTargetLang = "en"
+  private[graft] val DsirTopK = 50
+
+  /** q74 — DSIR-style importance scoring (Xie et al. 2023, reduced to
+    * order-1 features): score every document by the mean per-token
+    * log-ratio of an add-1-smoothed TARGET unigram LM (the
+    * [[DsirTargetLang]] subset) against the corpus LM, and return the
+    * [[DsirTopK]] most target-like docs — the importance-resampling
+    * data-selection step that upgrades q59's single-LM quality filter to a
+    * "more like THIS domain" selector. Plan shape is q59 plus one more
+    * term-key aggregation (the target model) and a left join for
+    * target-unseen terms; the three scalars (vocab, corpus tokens, target
+    * tokens) are driver literals like q58's nDocs. Parity discipline: the
+    * ln() argument is ONE double expression of the same shape on both
+    * sides — products of exact-integer-valued doubles, so no BIGINT
+    * overflow at web scale where `(c+1)·(U+V)` exceeds 2^63 — ordering is
+    * on the ROUNDED score then doc id.
+    */
+  def q74DsirScore(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tf = t(dir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term")
+      )
+      .groupBy("doc_id", "lang", "term")
+      .agg(count(lit(1)).as("tf"))
+    val mc = tf.groupBy("term").agg(sum("tf").as("cc"))
+    val mt = tf.filter(col("lang") === DsirTargetLang).groupBy("term").agg(sum("tf").as("ct"))
+    val vocab = mc.count()
+    val ucv = mc.agg(sum("cc")).first().getLong(0) + vocab
+    val utv = mt.agg(coalesce(sum("ct"), lit(0L))).first().getLong(0) + vocab
+    tf.join(mc, Seq("term"))
+      .join(mt, Seq("term"), "left")
+      .withColumn(
+        "lr",
+        log(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") * lit(ucv.toDouble)) /
+            ((col("cc") + 1).cast("double") * lit(utv.toDouble))
+        )
+      )
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").as("n_tokens"),
+        round(sum(col("tf") * col("lr")) / sum("tf"), 4).as("dsir")
+      )
+      .orderBy(col("dsir").desc, col("doc_id").asc)
+      .limit(DsirTopK)
+  }
+  val q74Sql: String =
+    s"""WITH tf AS (SELECT doc_id, lang, term, count(*) AS tf
+      |            FROM (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS term
+      |                  FROM documents)
+      |            GROUP BY doc_id, lang, term),
+      |mc AS (SELECT term, sum(tf) AS cc FROM tf GROUP BY term),
+      |mt AS (SELECT term, sum(tf) AS ct FROM tf WHERE lang = '$DsirTargetLang' GROUP BY term),
+      |v  AS (SELECT count(*) AS v FROM mc),
+      |uc AS (SELECT CAST(sum(cc) AS BIGINT) AS uc FROM mc),
+      |ut AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS ut FROM mt),
+      |s AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+      |             CAST(round(sum(tf.tf * ln((CAST(coalesce(mt.ct, 0) + 1 AS DOUBLE) * CAST(uc.uc + v.v AS DOUBLE))
+      |                                      / (CAST(mc.cc + 1 AS DOUBLE) * CAST(ut.ut + v.v AS DOUBLE)))) / sum(tf.tf), 4)
+      |                  AS DOUBLE) AS dsir
+      |      FROM tf JOIN mc USING (term) LEFT JOIN mt USING (term), v, uc, ut
+      |      GROUP BY tf.doc_id, v.v, uc.uc, ut.ut)
+      |SELECT doc_id, n_tokens, dsir FROM s ORDER BY dsir DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_tfidf_keywords" -> q58TfIdfKeywords _,
     "q59_unigram_lm" -> q59UnigramLmScore _,
@@ -673,7 +743,8 @@ object SignalQueries {
     "q63_hits" -> q63Hits _,
     "q69_pmi_collocations" -> q69PmiCollocations _,
     "q72_semantic_dedup" -> q72SemanticDedup _,
-    "q73_cooccurrence" -> q73Cooccurrence _
+    "q73_cooccurrence" -> q73Cooccurrence _,
+    "q74_dsir_score" -> q74DsirScore _
   )
 
   val oracles: Map[String, String] = Map(
@@ -685,6 +756,7 @@ object SignalQueries {
     "q63_hits" -> q63Sql,
     "q69_pmi_collocations" -> q69Sql,
     "q72_semantic_dedup" -> q72Sql,
-    "q73_cooccurrence" -> q73Sql
+    "q73_cooccurrence" -> q73Sql,
+    "q74_dsir_score" -> q74Sql
   )
 }

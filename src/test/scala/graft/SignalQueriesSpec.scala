@@ -224,6 +224,30 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.keySet.exists { case (a, b) => a == "ccc" && b == "ddd" }, s"beyond-window pair leaked: $out")
   }
 
+  // ---------------------------------------------------------------- q74
+
+  test("q74: target-like CONTENT outranks off-target content regardless of the doc's own label") {
+    // target lang 'en' writes 'foo', others write 'bar'; doc 4 is labeled
+    // zh but WRITTEN like the target — importance scoring is content-based,
+    // so it must tie the genuine en doc and beat the bar docs
+    val dir = writeDocs(
+      Seq(
+        (1L, "foo foo foo foo", "en"),
+        (2L, "bar bar bar bar", "zh"),
+        (3L, "bar bar bar bar", "zh"),
+        (4L, "foo foo foo foo", "zh")
+      )
+    )
+    val out = SignalQueries
+      .q74DsirScore(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    assert(out(1L) === out(4L), s"same content must score identically: $out")
+    assert(out(1L) > out(2L), s"target-like content must outrank off-target: $out")
+    assert(out(2L) === out(3L))
+  }
+
   // ---------------------------------------------------------------- q72
 
   test("q72: near-dups drop within their trained cell, keeper is the lowest id, orthogonal vectors survive") {
