@@ -734,6 +734,112 @@ object SignalQueries {
       |      GROUP BY tf.doc_id, v.v, uc.uc, ut.ut)
       |SELECT doc_id, n_tokens, dsir FROM s ORDER BY dsir DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+
+  /** Mixture temperature for q75 (the Pile/LLaMA-style α). */
+  private[graft] val MixAlpha = 0.7
+
+  /** q75 — mixture temperature reweighting: per-source token shares →
+    * α-tempered sampling weights (w ∝ share^α, α = [[MixAlpha]]) → expected
+    * epochs per source at a one-corpus-pass token budget. THE mixture knob
+    * of every multi-source pretraining run: α < 1 upsamples small
+    * high-value sources (epochs > 1) and downsamples the dominant crawl
+    * (epochs < 1). One source-key aggregation over the corpus — map-side
+    * combinable, O(sources) output; the two normalizing scalars are driver
+    * literals. pow() may differ a ulp across engines — every emitted double
+    * is rounded, and ordering is on the source string.
+    */
+  def q75MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val src = t(dir, "documents")
+      .select(
+        col("source"),
+        size(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).cast("long").as("n")
+      )
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+    val tot = src.agg(sum("tokens")).first().getLong(0).toDouble
+    val w = src.withColumn("pw", pow(col("tokens") / lit(tot), MixAlpha))
+    val z = w.agg(sum("pw")).first().getDouble(0)
+    w.select(
+      col("source"),
+      col("n_docs"),
+      col("tokens"),
+      round(col("tokens") / lit(tot), 4).as("nat_share"),
+      round(col("pw") / lit(z), 4).as("alpha_share"),
+      round(col("pw") / lit(z) * lit(tot) / col("tokens"), 4).as("epochs")
+    ).orderBy("source")
+  }
+  val q75Sql: String =
+    s"""WITH tf AS (SELECT source, CAST(len(regexp_extract_all(lower(text), '$TokenRe')) AS BIGINT) AS n
+      |            FROM documents),
+      |src AS (SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens FROM tf GROUP BY source),
+      |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS t FROM src),
+      |w AS (SELECT source, n_docs, tokens, pow(tokens / tot.t, $MixAlpha) AS pw FROM src, tot),
+      |z AS (SELECT CAST(sum(pw) AS DOUBLE) AS z FROM w)
+      |SELECT source, n_docs, tokens,
+      |       CAST(round(tokens / tot.t, 4) AS DOUBLE) AS nat_share,
+      |       CAST(round(pw / z.z, 4) AS DOUBLE) AS alpha_share,
+      |       CAST(round((pw / z.z) * tot.t / tokens, 4) AS DOUBLE) AS epochs
+      |FROM w, tot, z ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+
+  /** Rank depth for q76's Zipf fit. */
+  private[graft] val ZipfTopN = 500
+
+  /** q76 — Zipf rank-frequency diagnostics: the corpus-health report every
+    * ingest run should print. Fits ln(freq) on ln(rank) over the top
+    * [[ZipfTopN]] terms (OLS slope + intercept; natural text ≈ −1, a
+    * synthetic or template-spam corpus is much flatter) and reports vocab
+    * size and token mass (the Heaps'-law datapoint). The top-N selection
+    * is a distributed TakeOrdered — never a vocab-wide single-partition
+    * window; only the ≤ N survivors see a window, and the fit is two tiny
+    * aggregations with the means as driver literals, centered-sum spelling
+    * mirrored in the oracle so engine fusion noise stays under the
+    * rounding.
+    */
+  def q76ZipfDiagnostics(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tf = t(dir, "documents")
+      .select(explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("f"))
+    val totals = tf.agg(count(lit(1)).as("vocab"), sum("f").as("tokens")).first()
+    val (vocab, tokens) = (totals.getLong(0), totals.getLong(1))
+    val top = tf
+      .orderBy(col("f").desc, col("term").asc)
+      .limit(ZipfTopN)
+      .withColumn("rk", row_number().over(Window.orderBy(col("f").desc, col("term").asc)).cast("long"))
+      .select(log(col("rk").cast("double")).as("x"), log(col("f").cast("double")).as("y"))
+    val m = top.agg(avg("x").as("mx"), avg("y").as("my"), count(lit(1)).as("n")).first()
+    val (mx, my, nFit) = (m.getDouble(0), m.getDouble(1), m.getLong(2))
+    top
+      .agg(
+        (sum((col("x") - mx) * (col("y") - my)) / sum((col("x") - mx) * (col("x") - mx))).as("slope")
+      )
+      .select(
+        lit(vocab).as("vocab"),
+        lit(tokens).as("tokens"),
+        lit(nFit).as("n_fit"),
+        round(col("slope"), 4).as("zipf_slope"),
+        round(lit(my) - col("slope") * lit(mx), 4).as("intercept")
+      )
+  }
+  val q76Sql: String =
+    s"""WITH tf AS (SELECT term, count(*) AS f
+      |            FROM (SELECT unnest(regexp_extract_all(lower(text), '$TokenRe')) AS term FROM documents)
+      |            GROUP BY term),
+      |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS rk FROM tf),
+      |top AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y FROM r WHERE rk <= $ZipfTopN),
+      |m AS (SELECT avg(x) AS mx, avg(y) AS my, count(*) AS n FROM top)
+      |SELECT CAST((SELECT count(*) FROM tf) AS BIGINT) AS vocab,
+      |       CAST((SELECT sum(f) FROM tf) AS BIGINT) AS tokens,
+      |       CAST(m.n AS BIGINT) AS n_fit,
+      |       CAST(round(sum((x - m.mx)*(y - m.my)) / sum((x - m.mx)*(x - m.mx)), 4) AS DOUBLE) AS zipf_slope,
+      |       CAST(round(m.my - (sum((x - m.mx)*(y - m.my)) / sum((x - m.mx)*(x - m.mx))) * m.mx, 4) AS DOUBLE) AS intercept
+      |FROM top, m GROUP BY m.n, m.mx, m.my""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_tfidf_keywords" -> q58TfIdfKeywords _,
     "q59_unigram_lm" -> q59UnigramLmScore _,
@@ -744,7 +850,9 @@ object SignalQueries {
     "q69_pmi_collocations" -> q69PmiCollocations _,
     "q72_semantic_dedup" -> q72SemanticDedup _,
     "q73_cooccurrence" -> q73Cooccurrence _,
-    "q74_dsir_score" -> q74DsirScore _
+    "q74_dsir_score" -> q74DsirScore _,
+    "q75_mixture_weights" -> q75MixtureWeights _,
+    "q76_zipf_diagnostics" -> q76ZipfDiagnostics _
   )
 
   val oracles: Map[String, String] = Map(
@@ -757,6 +865,8 @@ object SignalQueries {
     "q69_pmi_collocations" -> q69Sql,
     "q72_semantic_dedup" -> q72Sql,
     "q73_cooccurrence" -> q73Sql,
-    "q74_dsir_score" -> q74Sql
+    "q74_dsir_score" -> q74Sql,
+    "q75_mixture_weights" -> q75Sql,
+    "q76_zipf_diagnostics" -> q76Sql
   )
 }

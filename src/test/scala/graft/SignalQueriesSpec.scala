@@ -248,6 +248,45 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) === out(3L))
   }
 
+  // ---------------------------------------------------------------- q75
+
+  test("q75: temperature mixing upsamples the small source and downsamples the big one") {
+    // source 'big': 9 docs x 10 tokens; source 'tiny': 1 doc x 10 tokens —
+    // nat shares 0.9/0.1; alpha=0.7 tempering must pull both toward the
+    // middle: big epochs < 1 < tiny epochs, and shares stay normalized
+    val ten = (0 until 10).map(i => s"tok$i").mkString(" ")
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mixfix").toString
+    ((0 until 9).map(i => (i.toLong, ten, "en", "big")) :+ ((9L, ten, "en", "tiny")))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SignalQueries
+      .q75MixtureWeights(spark, tmp)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val (bigTok, bigNat, bigAlpha, bigEp) = out("big")
+    val (tinyTok, tinyNat, tinyAlpha, tinyEp) = out("tiny")
+    assert(bigTok === 90L && tinyTok === 10L)
+    assert(bigNat === 0.9 && tinyNat === 0.1)
+    assert(bigAlpha < 0.9 && tinyAlpha > 0.1, s"tempering must compress the gap: $out")
+    assert(bigEp < 1.0 && tinyEp > 1.0, s"epochs must up/downsample: $out")
+  }
+
+  // ---------------------------------------------------------------- q76
+
+  test("q76: geometric frequencies yield a negative slope and exact vocab/token mass") {
+    // 5 terms with freqs 16/8/4/2/1 → vocab 5, tokens 31, clean Zipf decay
+    val text = Seq.fill(16)("aaa") ++ Seq.fill(8)("bbb") ++ Seq.fill(4)("ccc") ++
+      Seq.fill(2)("ddd") ++ Seq("eee")
+    val dir = writeDocs(Seq((1L, text.mkString(" "), "en")))
+    val r = SignalQueries.q76ZipfDiagnostics(spark, dir).collect().head
+    assert(r.getLong(0) === 5L, s"vocab: $r")
+    assert(r.getLong(1) === 31L, s"tokens: $r")
+    assert(r.getLong(2) === 5L, s"n_fit: $r")
+    assert(r.getDouble(3) < -1.0, s"geometric decay is steeper than Zipf's -1: $r")
+  }
+
   // ---------------------------------------------------------------- q72
 
   test("q72: near-dups drop within their trained cell, keeper is the lowest id, orthogonal vectors survive") {
