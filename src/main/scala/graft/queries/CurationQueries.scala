@@ -431,12 +431,101 @@ object CurationQueries {
       |FROM x GROUP BY seq ORDER BY seq""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q77
+
+  /** q77 — exact-substring duplicate SPANS (the removal step of Lee et al.
+    * 2022's ExactSubstr dedup, at q54's 8-gram grain). q54 answers "how
+    * duplicated is this doc"; q77 answers "WHICH token ranges are the
+    * duplicates" — the output a surgical span-removal pass consumes. Three
+    * stages, all scale-shaped: (1) positioned 8-gram windows (one
+    * posexplode, position-capped like every n-gram op here); (2) global
+    * occurrence counts — NOT per-doc-distinct like q54, so a passage
+    * repeated within one doc is caught too, matching the suffix-array
+    * semantics — with map-side combine collapsing boilerplate grams before
+    * the shuffle, and df≥2 grams joined back to their positions (equi-join
+    * on the gram string, AQE absorbs residual hot-gram skew); (3) maximal
+    * spans via gaps-and-islands over each doc's duplicated start
+    * positions: windows at i and j>i cover contiguous tokens iff
+    * j − i ≤ 8, so a new span opens exactly when the gap exceeds the
+    * window length. The island pass is a DOC-KEYED window — the scale-safe
+    * kind — and everything downstream of the explode is O(duplicated
+    * windows), not O(tokens). All-integer output; span bounds are
+    * [start_tok, end_tok) over the doc's 1-based whitespace tokens.
+    */
+  def q77DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    dupSpans(t(dir, "documents"))
+  }
+
+  /** Core of q77 over any (doc_id, text) frame. */
+  private[graft] def dupSpans(documents: DataFrame): DataFrame = {
+    val n = DupPassageN
+    val grams = documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), posexplode(TextQueries.wordGrams(n)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("gram"))
+    val dupGrams = grams
+      .groupBy("gram")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select("gram")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    grams
+      .join(dupGrams, Seq("gram"))
+      .select("doc_id", "i")
+      .withColumn("__prev", lag(col("i"), 1).over(byDoc))
+      .withColumn(
+        "__new",
+        when(col("__prev").isNull || col("i") - col("__prev") > n, lit(1L)).otherwise(lit(0L))
+      )
+      .withColumn("span_id", sum(col("__new")).over(byDoc))
+      .groupBy("doc_id", "span_id")
+      .agg(
+        min(col("i")).as("start_tok"),
+        (max(col("i")) + n).as("end_tok"),
+        count(lit(1)).as("n_windows")
+      )
+      .select(
+        col("doc_id"),
+        col("span_id"),
+        col("start_tok"),
+        col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("span_len"),
+        col("n_windows")
+      )
+      .orderBy("doc_id", "span_id")
+  }
+  val q77Sql: String = {
+    val n = DupPassageN
+    val parts = (0 until n).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= $n),
+      |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i, $parts AS gram
+      |      FROM w, (SELECT unnest(range(1, ${TextQueries.NGramPrefixCap + 1})) AS i) r
+      |      WHERE i + ${n - 1} <= len(ws)),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |s AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+      |m AS (SELECT doc_id, i,
+      |             CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+      |                    OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $n
+      |                  THEN 1 ELSE 0 END AS ns
+      |      FROM s),
+      |sp AS (SELECT doc_id, i,
+      |              CAST(sum(ns) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS span_id
+      |       FROM m)
+      |SELECT doc_id, span_id, min(i) AS start_tok, max(i) + $n AS end_tok,
+      |       max(i) + $n - min(i) AS span_len, count(*) AS n_windows
+      |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_dup_passages" -> q54DupPassages _,
     "q55_quality_keeper" -> q55QualityKeeper _,
     "q56_source_mixing" -> q56SourceMixing _,
     "q57_shard_assign" -> q57ShardAssign _,
-    "q70_sequence_pack" -> q70SequencePack _
+    "q70_sequence_pack" -> q70SequencePack _,
+    "q77_dup_spans" -> q77DupSpans _
   )
 
   val oracles: Map[String, String] = Map(
@@ -444,6 +533,7 @@ object CurationQueries {
     "q55_quality_keeper" -> q55Sql,
     "q56_source_mixing" -> q56Sql,
     "q57_shard_assign" -> q57Sql,
-    "q70_sequence_pack" -> q70Sql
+    "q70_sequence_pack" -> q70Sql,
+    "q77_dup_spans" -> q77Sql
   )
 }

@@ -284,4 +284,46 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._3).sum === 500L)
     assert(rows.last._4 === total - c * (rows.length - 1))
   }
+
+  // ---------------------------------------------------------------- q77
+
+  test("q77: maximal duplicate spans — cross-doc, within-doc, touching-window merge, gap split") {
+    def toks(p: String, n: Int) = (1 to n).map(j => s"$p$j").mkString(" ")
+    val pa = toks("pa", 10) // 10-token passage shared by docs 1 and 2
+    val pb = toks("pb", 8)  // 8-gram repeated WITHIN doc 3
+    val pe = toks("pe", 16) // docs 5/6 are full duplicates
+    val pf = toks("pf", 8)  // doc 7 = pf ++ pg; pf also in doc 8, pg also in doc 9
+    val pg = toks("pg", 8)
+    val docs = docsDF(
+      Seq(
+        1L -> s"$pa q1 q2 q3",
+        2L -> s"z1 z2 $pa z3",
+        3L -> s"$pb ${toks("pc", 9)} $pb",
+        4L -> toks("pd", 10), // unique control — must be absent
+        5L -> pe,
+        6L -> pe,
+        7L -> s"$pf $pg",
+        8L -> s"$pf ${toks("ph", 8)}",
+        9L -> s"${toks("pi", 8)} $pg"
+      )
+    )
+    val got = CurationQueries
+      .dupSpans(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    val want = Seq(
+      (1L, 1L, 1L, 11L, 10L, 3L),  // 3 overlapping dup windows merge to the 10-token passage
+      (2L, 1L, 3L, 13L, 10L, 3L),  // same passage at offset 2
+      (3L, 1L, 1L, 9L, 8L, 1L),    // within-doc repeat: two spans, gap 17 > 8 splits them
+      (3L, 2L, 18L, 26L, 8L, 1L),
+      (5L, 1L, 1L, 17L, 16L, 9L),  // full-dup doc: every window dup, one span covers the doc
+      (6L, 1L, 1L, 17L, 16L, 9L),
+      (7L, 1L, 1L, 17L, 16L, 2L),  // starts 1 and 9: gap == 8 TOUCHES, so the spans merge
+      (8L, 1L, 1L, 9L, 8L, 1L),
+      (9L, 1L, 9L, 17L, 8L, 1L)
+    )
+    assert(got === want, s"got ${got.mkString(",")}")
+    assert(!got.exists(_._1 == 4L), "the all-unique doc must produce no spans")
+  }
 }
