@@ -840,6 +840,122 @@ object SignalQueries {
       |       CAST(round(m.my - (sum((x - m.mx)*(y - m.my)) / sum((x - m.mx)*(x - m.mx))) * m.mx, 4) AS DOUBLE) AS intercept
       |FROM top, m GROUP BY m.n, m.mx, m.my""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+
+  /** Feature-hash width, learning rate, and gradient-descent iteration
+    * count for q78. 256 buckets keeps the weight vector broadcast-trivially
+    * small at ANY corpus size (that is the point of the hashing trick);
+    * 2 unrolled iterations is the q63/q72 discipline — enough to pin the
+    * full train-step dataflow value-level without an unbounded loop in the
+    * oracle.
+    */
+  private[graft] val LrBuckets = 256
+  private[graft] val LrRate = 5.0
+  private[graft] val LrIters = 2
+
+  /** q78 — hashed-feature logistic-regression quality classifier, TRAINED
+    * IN-QUERY by [[LrIters]] unrolled batch-gradient-descent iterations
+    * (the fastText/CCNet model-based filter, at the point where it beats
+    * q20's hand rules: the weights are LEARNED from labels, here distilled
+    * from the lexical-diversity heuristic — exactly how production quality
+    * classifiers bootstrap from heuristic labels). Dataflow per iteration
+    * is the scale-shape that matters: features are L1-normalized hashed
+    * token counts (one explode → (doc, bucket) count with map-side
+    * combine; bucket = md5-hex mod [[LrBuckets]], the q51 cross-engine
+    * hash), each gradient is ONE bucket-keyed aggregation over the
+    * (doc, bucket, x, residual) join — 256 reduce keys, no vocab-sized
+    * state — and the model update is a broadcast-joined 256-row table
+    * plus two driver scalars. Iteration 1 is closed-form (w=0 ⇒ every
+    * p=0.5), so the oracle replays the entire trajectory exactly. Labels
+    * use the all-integer diversity predicate (2·distinct > total) so the
+    * two engines cannot disagree on y; scores are rounded before the
+    * predicted-class comparison so a doc sitting ON the boundary cannot
+    * flip between engines.
+    */
+  def q78LogisticQuality(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    logisticQuality(t(dir, "documents"))
+  }
+
+  /** Core of q78 over any (doc_id, text) frame. */
+  private[graft] def logisticQuality(documents: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val lab = documents
+      .select(
+        col("doc_id"),
+        when(size(array_distinct(ws)) * 2 > size(ws), 1.0).otherwise(0.0).as("y"),
+        expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)").as("toks")
+      )
+      .filter(size(col("toks")) > 0)
+    val x = lab
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(
+        col("doc_id"),
+        (conv(substring(md5(col("term").cast("binary")), 1, 4), 16, 10).cast("long") % LrBuckets).as("h")
+      )
+      .groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("h"), (col("c").cast("double") / col("n").cast("double")).as("x"))
+    val xy = x.join(lab.select("doc_id", "y"), Seq("doc_id"))
+    val nDocs = lab.count().toDouble
+    // iteration 1: w = 0 ⇒ p = 0.5 for every doc, so the first gradient is
+    // closed-form in (0.5 − y) — the oracle replays exactly this
+    val w1 = xy
+      .groupBy("h")
+      .agg((sum((lit(0.5) - col("y")) * col("x")) * lit(-LrRate / nDocs)).as("w"))
+    val b1 = lab.agg(sum(lit(0.5) - col("y"))).first().getDouble(0) * (-LrRate / nDocs)
+    // iteration 2: forward pass, residual, one more bucket-keyed gradient
+    val sig = (z: Column) => lit(1.0) / (lit(1.0) + exp(-z))
+    val r2 = xy
+      .join(broadcast(w1), Seq("h"))
+      .groupBy("doc_id")
+      .agg(sum(col("w") * col("x")).as("wx"), first(col("y")).as("y"))
+      .select(col("doc_id"), (sig(col("wx") + lit(b1)) - col("y")).as("r"))
+    val w2 = xy
+      .join(r2, Seq("doc_id"))
+      .groupBy("h")
+      .agg((sum(col("r") * col("x")) * lit(-LrRate / nDocs)).as("g"))
+      .join(w1, Seq("h"))
+      .select(col("h"), (col("w") + col("g")).as("w"))
+    val b2 = b1 + r2.agg(sum("r")).first().getDouble(0) * (-LrRate / nDocs)
+    xy.join(broadcast(w2), Seq("h"))
+      .groupBy("doc_id")
+      .agg(sum(col("w") * col("x")).as("wx"), first(col("y")).as("y"))
+      .select(
+        col("doc_id"),
+        col("y").cast("long").as("y"),
+        round(sig(col("wx") + lit(b2)), 4).as("score"),
+        (round(sig(col("wx") + lit(b2)), 4) > 0.5).as("predicted")
+      )
+      .orderBy("doc_id")
+  }
+  val q78Sql: String =
+    s"""WITH lab AS (SELECT doc_id,
+      |                   CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+      |                             > len(string_split(text, ' ')) THEN 1.0 ELSE 0.0 END AS y,
+      |                   regexp_extract_all(lower(text), '$TokenRe') AS toks
+      |            FROM documents),
+      |l AS (SELECT doc_id, y, toks FROM lab WHERE len(toks) > 0),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM l),
+      |cnt AS (SELECT doc_id, CAST('0x' || substring(md5(term), 1, 4) AS BIGINT) % $LrBuckets AS h,
+      |               count(*) AS c
+      |        FROM (SELECT doc_id, unnest(toks) AS term FROM l) GROUP BY 1, 2),
+      |x AS (SELECT doc_id, h, CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id) AS x FROM cnt),
+      |xy AS (SELECT x.doc_id, x.h, x.x, l.y FROM x JOIN l USING (doc_id)),
+      |w1 AS (SELECT h, sum((0.5 - y) * x) * (-$LrRate / n.n) AS w FROM xy, n GROUP BY h, n.n),
+      |b1 AS (SELECT sum(0.5 - y) * (-$LrRate / n.n) AS b FROM l, n GROUP BY n.n),
+      |r2 AS (SELECT xy.doc_id,
+      |              1.0 / (1.0 + exp(-(sum(w1.w * xy.x) + any_value(b1.b)))) - any_value(xy.y) AS r
+      |       FROM xy JOIN w1 USING (h), b1 GROUP BY xy.doc_id),
+      |w2 AS (SELECT xy.h, any_value(w1.w) + sum(r2.r * xy.x) * (-$LrRate / n.n) AS w
+      |       FROM xy JOIN r2 USING (doc_id) JOIN w1 USING (h), n GROUP BY xy.h, n.n),
+      |b2 AS (SELECT b1.b + (SELECT sum(r) FROM r2) * (-$LrRate / n.n) AS b FROM b1, n)
+      |SELECT xy.doc_id, CAST(any_value(xy.y) AS BIGINT) AS y,
+      |       CAST(round(1.0 / (1.0 + exp(-(sum(w2.w * xy.x) + any_value(b2.b)))), 4) AS DOUBLE) AS score,
+      |       round(1.0 / (1.0 + exp(-(sum(w2.w * xy.x) + any_value(b2.b)))), 4) > 0.5 AS predicted
+      |FROM xy JOIN w2 USING (h), b2 GROUP BY xy.doc_id ORDER BY xy.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_tfidf_keywords" -> q58TfIdfKeywords _,
     "q59_unigram_lm" -> q59UnigramLmScore _,
@@ -852,7 +968,8 @@ object SignalQueries {
     "q73_cooccurrence" -> q73Cooccurrence _,
     "q74_dsir_score" -> q74DsirScore _,
     "q75_mixture_weights" -> q75MixtureWeights _,
-    "q76_zipf_diagnostics" -> q76ZipfDiagnostics _
+    "q76_zipf_diagnostics" -> q76ZipfDiagnostics _,
+    "q78_logistic_quality" -> q78LogisticQuality _
   )
 
   val oracles: Map[String, String] = Map(
@@ -867,6 +984,7 @@ object SignalQueries {
     "q73_cooccurrence" -> q73Sql,
     "q74_dsir_score" -> q74Sql,
     "q75_mixture_weights" -> q75Sql,
-    "q76_zipf_diagnostics" -> q76Sql
+    "q76_zipf_diagnostics" -> q76Sql,
+    "q78_logistic_quality" -> q78Sql
   )
 }

@@ -323,4 +323,90 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(drops === (1L to 49L).map(_ -> 0L).toMap, s"got $drops")
   }
+
+  // ---------------------------------------------------------------- q78
+
+  /** Plain-Scala replay of q78's 2-iteration hashed-LR training — written
+    * independently of the Spark plan (loops + MessageDigest) so agreement
+    * pins the whole trajectory, not just the plumbing.
+    */
+  private def lrReference(docs: Seq[(Long, String)]): Map[Long, (Double, Double)] = {
+    val B = 256
+    val lr = 5.0
+    def md5bucket(term: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(term.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      java.lang.Integer.parseInt(hex.substring(0, 4), 16) % B
+    }
+    val re = "[a-z]{3,}".r
+    val feats = docs.flatMap { case (id, text) =>
+      val toks = re.findAllIn(text.toLowerCase).toSeq
+      if (toks.isEmpty) None
+      else {
+        val ws = text.split(" ", -1)
+        val y = if (2 * ws.distinct.length > ws.length) 1.0 else 0.0
+        val cnt = toks.groupBy(md5bucket).view.mapValues(_.size.toDouble / toks.size).toMap
+        Some((id, y, cnt))
+      }
+    }
+    val n = feats.size.toDouble
+    def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    var w = Map.empty[Int, Double].withDefaultValue(0.0)
+    var b = 0.0
+    (1 to 2).foreach { _ =>
+      val grads = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+      var gb = 0.0
+      feats.foreach { case (_, y, x) =>
+        val p = sigmoid(x.map { case (h, v) => w(h) * v }.sum + b)
+        x.foreach { case (h, v) => grads(h) += (p - y) * v }
+        gb += p - y
+      }
+      w = w ++ grads.map { case (h, g) => h -> (w(h) - lr * g / n) }
+      b -= lr * gb / n
+    }
+    feats.map { case (id, y, x) =>
+      id -> (y, sigmoid(x.map { case (h, v) => w(h) * v }.sum + b))
+    }.toMap
+  }
+
+  test("q78: Spark 2-iteration hashed-LR training matches an independent Scala replay, and separates the classes") {
+    // y=1 docs (diverse vocab) vs y=0 docs (one word repeated); disjoint
+    // vocab between classes so 2 GD steps must order the scores
+    val rows = Seq(
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel",
+      2L -> "india juliet kilo lima mike november oscar papa",
+      3L -> "quebec romeo sierra tango uniform victor whiskey xray",
+      4L -> "spam spam spam spam spam spam spam spam",
+      5L -> "junk junk junk junk junk junk junk junk",
+      6L -> "noise noise noise noise noise noise noise noise",
+      7L -> "1 2 3 4 5" // no [a-z]{3,} token — excluded from training and output
+    )
+    val sp = spark; import sp.implicits._
+    val df = rows.toDF("doc_id", "text")
+    val got = SignalQueries
+      .logisticQuality(df)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSeq
+    val ref = lrReference(rows)
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L, 6L), "doc 7 (no tokens) excluded, rest ordered")
+    got.foreach { case (id, y, score, predicted) =>
+      val (refY, refScore) = ref(id)
+      assert(y.toDouble === refY, s"doc $id label")
+      val want = BigDecimal(refScore).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score === want, s"doc $id: spark $score vs reference $want")
+      assert(predicted === (score > 0.5), s"doc $id predicted flag")
+    }
+    val hi = got.filter(_._2 == 1L).map(_._3)
+    val lo = got.filter(_._2 == 0L).map(_._3)
+    assert(hi.nonEmpty && lo.nonEmpty && hi.min > lo.max,
+      s"2 GD iterations must separate the planted classes: hi=$hi lo=$lo")
+    // determinism: a re-run is row-identical
+    val again = SignalQueries
+      .logisticQuality(df)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSeq
+    assert(again === got)
+  }
 }
