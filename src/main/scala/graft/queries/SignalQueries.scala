@@ -956,6 +956,119 @@ object SignalQueries {
       |       round(1.0 / (1.0 + exp(-(sum(w2.w * xy.x) + any_value(b2.b)))), 4) > 0.5 AS predicted
       |FROM xy JOIN w2 USING (h), b2 GROUP BY xy.doc_id ORDER BY xy.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+
+  /** Merge count and symbol-prefix cap for q79. 3 unrolled merges is the
+    * q63/q72/q78 trajectory-pinning discipline; 64 symbols bounds the
+    * pair-enumeration fan-out per word on both engines identically (the
+    * NGramPrefixCap idea applied to word length).
+    */
+  private[graft] val BpeMerges = 3
+  private[graft] val BpeMaxSyms = 64
+
+  /** The BPE merge-application step as a fold over a word's symbol list:
+    * acc is the partially-merged sequence as a space-joined string; merging
+    * the last symbol `p1` with the incoming `p2` is just `acc || p2` (no
+    * separator). A fold is EXACTLY leftmost-greedy BPE: after a merge the
+    * last token becomes p1p2, which can never re-match p1 (p2 nonempty),
+    * so "a a a" under (a,a) yields [aa, a] — the Sennrich semantics. The
+    * same fold runs as Spark's `aggregate` and DuckDB's `list_reduce`
+    * (both fold1: init = first symbol), so parity is structural. Symbols
+    * are [a-z]+ substrings — interpolating them into the lambda is
+    * quote-safe by construction.
+    */
+  private def bpeFold(p1: String, p2: String): String =
+    s"""aggregate(slice(split(seq, ' '), 2, greatest(size(split(seq, ' ')) - 1, 0)),
+       |          element_at(split(seq, ' '), 1),
+       |          (acc, s) -> CASE WHEN element_at(split(acc, ' '), -1) = '$p1' AND s = '$p2'
+       |                           THEN concat(acc, '$p2') ELSE concat(acc, ' ', s) END)""".stripMargin
+
+  /** q79 — BPE merge training, [[BpeMerges]] unrolled iterations: the
+    * actual tokenizer-training loop that q45 (pre-tokenization) and q69
+    * (pair scoring) are steps of. Word-frequency table (one explode →
+    * O(vocab) rows, map-side combine), then per iteration: (1) adjacent
+    * symbol pairs from each word's CURRENT symbol sequence, weighted by
+    * word count — pair keys are map-side combinable and the enumeration is
+    * capped at [[BpeMaxSyms]] symbols on both engines; (2) argmax pair via
+    * distributed TakeOrdered with all-integer counts and lexicographic
+    * ties, landed as a driver literal (the q61-centroid discipline); (3)
+    * the merge applied to every word by [[bpeFold]] — a pure projection
+    * that fuses into the next iteration's scan. Output is the learned
+    * merge table itself (iter, pair, merged symbol, count) — integers and
+    * strings only, so the DuckDB oracle replaying the identical trajectory
+    * must match bit-exactly. A production trainer runs ~50k merges with
+    * incremental pair-delta updates off this same dataflow; 3 unrolled
+    * rounds pin the semantics value-level.
+    */
+  def q79BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    bpeMerges(t(dir, "documents"))
+  }
+
+  /** Core of q79 over any (doc_id, text) frame. */
+  private[graft] def bpeMerges(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var w = documents
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("wc"))
+      .select(col("wc"), trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+    val merges = (1 to BpeMerges).map { k =>
+      val pairs = w
+        .select(col("wc"), split(col("seq"), " ").as("ws"))
+        // single-symbol words carry no pairs — and guard the q52 trap:
+        // sequence(1, k) turns DESCENDING for k < 1
+        .filter(size(col("ws")) >= 2)
+        .select(
+          col("wc"),
+          explode(
+            expr(
+              s"transform(sequence(1, least(size(ws) - 1, ${BpeMaxSyms - 1})), " +
+                "i -> struct(element_at(ws, i) AS l, element_at(ws, i + 1) AS r))"
+            )
+          ).as("p")
+        )
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+        .headOption
+        .getOrElse(sys.error(s"q79: no symbol pairs at iteration $k — corpus has no multi-char words"))
+      val (p1, p2, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      w = w.select(col("wc"), expr(bpeFold(p1, p2)).as("seq"))
+      (k.toLong, p1, p2, p1 + p2, cnt)
+    }
+    merges.toDF("iter", "left_sym", "right_sym", "merged", "pair_count").orderBy("iter")
+  }
+  val q79Sql: String = {
+    val mx = BpeMaxSyms
+    val stages = (1 to BpeMerges).map { k =>
+      val fold =
+        s"""list_reduce(string_split(seq, ' '),
+           |            (acc, s) -> CASE WHEN list_extract(string_split(acc, ' '), -1) = b$k.l AND s = b$k.r
+           |                             THEN acc || b$k.r ELSE acc || ' ' || s END)""".stripMargin
+      s"""p$k AS (SELECT ws[i] AS l, ws[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+         |       FROM (SELECT wc, string_split(seq, ' ') AS ws FROM w${k - 1}),
+         |            (SELECT unnest(range(1, $mx)) AS i) ix
+         |       WHERE i + 1 <= len(ws) GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (SELECT wc, $fold AS seq FROM w${k - 1}, b$k)""".stripMargin
+    }
+    val rows = (1 to BpeMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS iter, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS pair_count FROM b$k")
+      .mkString("\n UNION ALL ")
+    s"""WITH w0 AS (SELECT count(*) AS wc, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+       |           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+       |           GROUP BY word),
+       |${stages.mkString(",\n")}
+       |SELECT * FROM (
+       | $rows
+       |) ORDER BY iter""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_tfidf_keywords" -> q58TfIdfKeywords _,
     "q59_unigram_lm" -> q59UnigramLmScore _,
@@ -969,7 +1082,8 @@ object SignalQueries {
     "q74_dsir_score" -> q74DsirScore _,
     "q75_mixture_weights" -> q75MixtureWeights _,
     "q76_zipf_diagnostics" -> q76ZipfDiagnostics _,
-    "q78_logistic_quality" -> q78LogisticQuality _
+    "q78_logistic_quality" -> q78LogisticQuality _,
+    "q79_bpe_merges" -> q79BpeMerges _
   )
 
   val oracles: Map[String, String] = Map(
@@ -985,6 +1099,7 @@ object SignalQueries {
     "q74_dsir_score" -> q74Sql,
     "q75_mixture_weights" -> q75Sql,
     "q76_zipf_diagnostics" -> q76Sql,
-    "q78_logistic_quality" -> q78Sql
+    "q78_logistic_quality" -> q78Sql,
+    "q79_bpe_merges" -> q79Sql
   )
 }

@@ -409,4 +409,42 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq
     assert(again === got)
   }
+
+  // ---------------------------------------------------------------- q79
+
+  test("q79: the classic BPE example learns (e,s) then (es,t) then (l,o), ties lexicographic") {
+    // Sennrich et al.'s worked vocabulary: low x5, lower x2, newest x6,
+    // widest x3. Hand-computed: es=9 ties st=9 (e<s wins); after merging,
+    // (es,t)=9 dominates; then lo=7 ties ow=7 (l<o wins).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val sp = spark; import sp.implicits._
+    val got = SignalQueries
+      .bpeMerges(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "l", "o", "lo", 7L)
+    ), s"got $got")
+  }
+
+  test("q79: overlapping pairs merge leftmost-greedy — 'aaa' under (a,a) becomes [aa, a]") {
+    // word aaa x2 contributes (a,a) count 4 (two positions x two words);
+    // the fold must leave [aa, a] (NOT triple-merge), so iteration 2 sees
+    // candidate (aa,a) at count 2, outvoted by bcd's (b,c)=3
+    val sp = spark; import sp.implicits._
+    val got = SignalQueries
+      .bpeMerges(Seq((1L, "aaa aaa bcd bcd bcd")).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "b", "c", "bc", 3L),
+      (3L, "bc", "d", "bcd", 3L)
+    ), s"got $got")
+  }
 }
