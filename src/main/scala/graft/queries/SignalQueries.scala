@@ -898,13 +898,16 @@ object SignalQueries {
       .withColumn("n", sum(col("c")).over(Window.partitionBy("doc_id")))
       .select(col("doc_id"), col("h"), (col("c").cast("double") / col("n").cast("double")).as("x"))
     val xy = x.join(lab.select("doc_id", "y"), Seq("doc_id"))
-    val nDocs = lab.count().toDouble
+    // one action for both scalars: lab is doc-level and explode-free, so
+    // this job never touches the token fan-out
+    val labAgg = lab.agg(count(lit(1)), sum(lit(0.5) - col("y"))).first()
+    val nDocs = labAgg.getLong(0).toDouble
     // iteration 1: w = 0 ⇒ p = 0.5 for every doc, so the first gradient is
     // closed-form in (0.5 − y) — the oracle replays exactly this
     val w1 = xy
       .groupBy("h")
       .agg((sum((lit(0.5) - col("y")) * col("x")) * lit(-LrRate / nDocs)).as("w"))
-    val b1 = lab.agg(sum(lit(0.5) - col("y"))).first().getDouble(0) * (-LrRate / nDocs)
+    val b1 = labAgg.getDouble(1) * (-LrRate / nDocs)
     // iteration 2: forward pass, residual, one more bucket-keyed gradient
     val sig = (z: Column) => lit(1.0) / (lit(1.0) + exp(-z))
     val r2 = xy
@@ -1009,11 +1012,17 @@ object SignalQueries {
   private[graft] def bpeMerges(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    var w = documents
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-      .groupBy("word")
-      .agg(count(lit(1)).as("wc"))
-      .select(col("wc"), trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+    // each iteration's argmax is an action: checkpoint the O(vocab) word
+    // table once so iterations 2..k fold over it instead of re-exploding
+    // the corpus per action (the q49/CacheOps release discipline)
+    val (w0, releaseW0) = graft.core.CacheOps.checkpointReleasable(
+      documents
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("wc"))
+        .select(col("wc"), trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+    )
+    var w = w0
     val merges = (1 to BpeMerges).map { k =>
       val pairs = w
         .select(col("wc"), split(col("seq"), " ").as("ws"))
@@ -1041,6 +1050,8 @@ object SignalQueries {
       w = w.select(col("wc"), expr(bpeFold(p1, p2)).as("seq"))
       (k.toLong, p1, p2, p1 + p2, cnt)
     }
+    // the merge table is driver literals — nothing downstream reads w0
+    releaseW0()
     merges.toDF("iter", "left_sym", "right_sym", "merged", "pair_count").orderBy("iter")
   }
   val q79Sql: String = {
