@@ -1412,6 +1412,51 @@ object TextQueries {
       |       CAST(sum(CAST('0x' || substring(md5(red), 1, 8) AS BIGINT)) AS BIGINT) AS red_check
       |FROM r GROUP BY segment ORDER BY segment""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+
+  /** q80 — split-leakage audit: near-duplicate pairs that STRADDLE the
+    * q51 content-hash train/val/test assignment. q47 scans for
+    * contamination against an EXTERNAL benchmark set; this is the internal
+    * complement — a near-dup of a training doc sitting in val/test leaks
+    * the answer into evaluation. Exact duplicates can never leak here
+    * (identical text ⇒ identical md5 ⇒ same split — the q51 guarantee);
+    * what leaks is precisely the near-dup band (0.5 ≤ j < 1), which is why
+    * the audit composes the VERIFIED LSH pairs (q33's capped
+    * shingle→minhash→band machinery, reused as-is) with the q51
+    * [[splitCol]] assignment — two doc-keyed broadcast-sized joins on top
+    * of a pipeline whose scale story (bucket caps, map-side combine,
+    * O(cap²·buckets) candidates) is already pinned by q33/q34. Emits the
+    * actionable artifact: the offending pair, both splits, and the
+    * verified similarity.
+    */
+  def q80SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    val splits = docs.select(col("doc_id"), splitCol.as("split"))
+    verifiedPairs(docs)
+      .filter(col("jaccard") >= 0.5)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("split_a"),
+        col("split_b"),
+        round(col("jaccard"), 4).as("jaccard_r")
+      )
+      .orderBy("doc_a", "doc_b")
+  }
+  val q80Sql: String =
+    shingleSqlPrefix +
+      """,
+        |spl AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |        FROM (SELECT doc_id, CAST('0x' || substring(md5(text), 1, 4) AS BIGINT) % 100 AS b FROM documents))
+        |SELECT v.doc_a, v.doc_b, sa.split AS split_a, sb.split AS split_b,
+        |       CAST(round(v.jaccard, 4) AS DOUBLE) AS jaccard_r
+        |FROM verified v JOIN spl sa ON sa.doc_id = v.doc_a JOIN spl sb ON sb.doc_id = v.doc_b
+        |WHERE v.jaccard >= 0.5 AND sa.split <> sb.split ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> q18DedupExact _,
     "q19_token_count" -> q19TokenCount _,
@@ -1438,7 +1483,8 @@ object TextQueries {
     "q50_repetition" -> q50Repetition _,
     "q51_hash_split" -> q51HashSplit _,
     "q52_filter_cascade" -> q52FilterCascade _,
-    "q53_pii_redact" -> q53PiiRedact _
+    "q53_pii_redact" -> q53PiiRedact _,
+    "q80_split_leakage" -> q80SplitLeakage _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1467,6 +1513,7 @@ object TextQueries {
     "q50_repetition" -> q50Sql,
     "q51_hash_split" -> q51Sql,
     "q52_filter_cascade" -> q52Sql,
-    "q53_pii_redact" -> q53Sql
+    "q53_pii_redact" -> q53Sql,
+    "q80_split_leakage" -> q80Sql
   )
 }

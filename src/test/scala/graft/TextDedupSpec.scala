@@ -249,4 +249,42 @@ class TextDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val leftover = spark.sparkContext.getPersistentRDDs
     assert(leftover.isEmpty, s"cached RDDs leaked: ${leftover.values.map(_.toString).mkString("; ")}")
   }
+
+  test("q80: a cross-split near-dup is reported; an exact dup can never leak (same split by construction)") {
+    // the q51 split formula, replayed in plain Scala to PLANT a pair whose
+    // two variants land in different splits
+    def splitOf(text: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(text.getBytes("UTF-8"))
+      val b = java.lang.Integer.parseInt(d.take(2).map("%02x".format(_)).mkString, 16) % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val passage = (0 until 60).map(j => s"leak$j").mkString(" ")
+    val v0 = s"$passage extraA"
+    val vk = (1 to 200)
+      .map(k => s"$passage extraB$k")
+      .find(splitOf(_) != splitOf(v0))
+      .getOrElse(fail("no variant landed in a different split — formula drift?"))
+    val exact = (0 until 60).map(j => s"same$j").mkString(" ")
+    val rows = Seq(
+      1L -> v0,
+      2L -> vk,
+      3L -> exact, // identical texts: jaccard 1.0 but identical md5 ⇒ same
+      4L -> exact, // split ⇒ NEVER a leak row
+      5L -> filler(5),
+      6L -> filler(6)
+    )
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q80fix").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries
+      .q80SplitLeakage(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    assert(got.length === 1, s"exactly the planted cross-split near-dup: $got")
+    val (a, b, sa, sb, j) = got.head
+    assert((a, b) === (1L, 2L))
+    assert(sa === splitOf(v0) && sb === splitOf(vk))
+    assert(j >= 0.5 && j < 1.0, s"near-dup similarity, not exact: $j")
+  }
 }
