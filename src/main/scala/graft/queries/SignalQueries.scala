@@ -1008,10 +1008,11 @@ object SignalQueries {
     bpeMerges(t(dir, "documents"))
   }
 
-  /** Core of q79 over any (doc_id, text) frame. */
-  private[graft] def bpeMerges(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
+  /** q79's training loop, reusable: returns the learned merges as driver
+    * literals — all executor state is released before returning, so callers
+    * (q79's merge table, q81's application pass) build fresh lazy plans.
+    */
+  private[graft] def trainBpe(documents: DataFrame): Seq[(Long, String, String, String, Long)] = {
     // each iteration's argmax is an action: checkpoint the O(vocab) word
     // table once so iterations 2..k fold over it instead of re-exploding
     // the corpus per action (the q49/CacheOps release discipline)
@@ -1052,7 +1053,14 @@ object SignalQueries {
     }
     // the merge table is driver literals — nothing downstream reads w0
     releaseW0()
-    merges.toDF("iter", "left_sym", "right_sym", "merged", "pair_count").orderBy("iter")
+    merges
+  }
+
+  /** Core of q79 over any (doc_id, text) frame. */
+  private[graft] def bpeMerges(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    trainBpe(documents).toDF("iter", "left_sym", "right_sym", "merged", "pair_count").orderBy("iter")
   }
   val q79Sql: String = {
     val mx = BpeMaxSyms
@@ -1080,6 +1088,92 @@ object SignalQueries {
        |) ORDER BY iter""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q81
+
+  /** q81 — BPE encoding / compression report: apply q79's LEARNED merges
+    * and measure what the tokenizer buys. The application is the
+    * tokenize-by-vocabulary-lookup shape every fast tokenizer batches
+    * through: the merge chain runs ONCE PER DISTINCT WORD (an O(vocab)
+    * projection — [[BpeMerges]] chained [[bpeFold]]s with the trained
+    * pairs as literals), and per-doc numbers come from joining the
+    * (doc, word, count) table to that vocabulary — never re-folding per
+    * occurrence. Training happens via [[trainBpe]] (actions, state
+    * released); application is a fresh lazy plan, so the query leaves no
+    * cache behind. Per doc: word/char/token counts and the chars→tokens
+    * ratio — the compression diagnostic that decides whether a merge
+    * budget is worth shipping.
+    */
+  def q81BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    bpeEncode(t(dir, "documents"))
+  }
+
+  /** Core of q81 over any (doc_id, text) frame. */
+  private[graft] def bpeEncode(documents: DataFrame): DataFrame = {
+    val merges = trainBpe(documents)
+    val perDocWord = documents
+      .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+    val seq0 = perDocWord
+      .select("word")
+      .distinct()
+      .select(col("word"), trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+    val encoded = merges.foldLeft(seq0) { case (df, (_, p1, p2, _, _)) =>
+      df.select(col("word"), expr(bpeFold(p1, p2)).as("seq"))
+    }
+    val wt = encoded.select(
+      col("word"),
+      size(split(col("seq"), " ")).cast("long").as("n_sym"),
+      length(col("word")).cast("long").as("nc")
+    )
+    perDocWord
+      .join(wt, Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("nc")).as("n_chars"),
+        sum(col("cnt") * col("n_sym")).as("n_tokens")
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_chars"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_chars").cast("double"), 4).as("ratio")
+      )
+      .orderBy("doc_id")
+  }
+  val q81Sql: String = {
+    val mx = BpeMaxSyms
+    val stages = (1 to BpeMerges).map { k =>
+      val fold =
+        s"""list_reduce(string_split(seq, ' '),
+           |            (acc, s) -> CASE WHEN list_extract(string_split(acc, ' '), -1) = b$k.l AND s = b$k.r
+           |                             THEN acc || b$k.r ELSE acc || ' ' || s END)""".stripMargin
+      s"""p$k AS (SELECT ws[i] AS l, ws[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+         |       FROM (SELECT wc, string_split(seq, ' ') AS ws FROM w${k - 1}),
+         |            (SELECT unnest(range(1, $mx)) AS i) ix
+         |       WHERE i + 1 <= len(ws) GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (SELECT word, wc, $fold AS seq FROM w${k - 1}, b$k)""".stripMargin
+    }
+    s"""WITH w0 AS (SELECT word, count(*) AS wc, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+       |           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+       |           GROUP BY word),
+       |${stages.mkString(",\n")},
+       |pd AS (SELECT doc_id, word, count(*) AS cnt
+       |       FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+       |       GROUP BY 1, 2),
+       |wt AS (SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym,
+       |              CAST(length(word) AS BIGINT) AS nc FROM w$BpeMerges)
+       |SELECT pd.doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |       CAST(sum(cnt * nc) AS BIGINT) AS n_chars,
+       |       CAST(sum(cnt * n_sym) AS BIGINT) AS n_tokens,
+       |       CAST(round(CAST(sum(cnt * n_sym) AS DOUBLE) / sum(cnt * nc), 4) AS DOUBLE) AS ratio
+       |FROM pd JOIN wt USING (word) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_tfidf_keywords" -> q58TfIdfKeywords _,
     "q59_unigram_lm" -> q59UnigramLmScore _,
@@ -1094,7 +1188,8 @@ object SignalQueries {
     "q75_mixture_weights" -> q75MixtureWeights _,
     "q76_zipf_diagnostics" -> q76ZipfDiagnostics _,
     "q78_logistic_quality" -> q78LogisticQuality _,
-    "q79_bpe_merges" -> q79BpeMerges _
+    "q79_bpe_merges" -> q79BpeMerges _,
+    "q81_bpe_encode" -> q81BpeEncode _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1111,6 +1206,7 @@ object SignalQueries {
     "q75_mixture_weights" -> q75Sql,
     "q76_zipf_diagnostics" -> q76Sql,
     "q78_logistic_quality" -> q78Sql,
-    "q79_bpe_merges" -> q79Sql
+    "q79_bpe_merges" -> q79Sql,
+    "q81_bpe_encode" -> q81Sql
   )
 }

@@ -447,4 +447,23 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "bc", "d", "bcd", 3L)
     ), s"got $got")
   }
+
+  test("q81: applying the learned merges compresses the Sennrich corpus to hand-computed token counts") {
+    // merges (e,s),(es,t),(l,o) encode: low -> [lo,w]=2, lower -> [lo,w,e,r]=4,
+    // newest -> [n,e,w,est]=4, widest -> [w,i,d,est]=4.
+    // totals: words 16; chars 5*3+2*5+6*6+3*6 = 79; tokens 5*2+2*4+6*4+3*4 = 54
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val sp = spark; import sp.implicits._
+    val got = SignalQueries
+      .bpeEncode(Seq((1L, text), (2L, "12 34 !!")).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got === Seq((1L, 16L, 79L, 54L, 0.6835)), s"got $got — doc 2 (no alpha words) excluded")
+    // nothing cached survives the query (train releases, apply is lazy)
+    got.foreach(_ => ())
+    val leftover = spark.sparkContext.getPersistentRDDs
+    assert(leftover.isEmpty, s"cached RDDs leaked: ${leftover.keys.mkString(",")}")
+  }
 }
