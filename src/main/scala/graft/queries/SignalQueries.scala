@@ -1174,6 +1174,83 @@ object SignalQueries {
        |FROM pd JOIN wt USING (word) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q82
+
+  /** Count-min sketch shape for q82: depth 4 (rows = independent md5-salted
+    * hashes), width 1024 columns, heavy-hitter report floor 200. The
+    * sketch is 4×1024 counters REGARDLESS of corpus size — that is the
+    * whole point.
+    */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024
+  private[graft] val CmsHhMin = 200L
+
+  /** The (row, column) cell keys a term hashes to — one expression shared
+    * by the build and probe sides so they cannot drift. md5 of "r:term" is
+    * the q51 cross-engine hash with the row index as salt.
+    */
+  private def cmsCells(width: Int): String =
+    s"transform(sequence(0, ${CmsDepth - 1}), r -> named_struct('r', r, " +
+      s"'c', CAST(conv(substring(md5(CAST(concat(CAST(r AS STRING), ':', term) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $width))"
+
+  /** q82 — count-min-sketch heavy hitters: frequency estimation in FIXED
+    * memory (4×[[CmsWidth]] counters) no matter how many distinct terms
+    * the corpus holds — the vocabulary-pruning / hot-key-detection sketch
+    * a 10^12-token corpus needs when exact per-term counts no longer fit
+    * anywhere. The build is one explode → (row, col) count aggregation,
+    * and Spark's map-side partial aggregation IS the sketch algebra: each
+    * task builds its partition's sketch, the shuffle merges them
+    * cell-wise (count-min is exactly cell-wise-sum mergeable). The probe
+    * joins candidate terms to the BROADCAST sketch on the shared cell
+    * expression and takes min over rows — est ≥ true always (one-sided
+    * error), with collisions only ever inflating. The report pairs the
+    * estimate with the exact count (the oracle's ground truth) and flags
+    * overestimates; at fixture vocabulary the sketch is collision-free,
+    * so the spec re-runs the core at width 4 to force and pin collision
+    * semantics against a plain-Scala replay.
+    */
+  def q82CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    cmsHeavyHitters(t(dir, "documents"), CmsWidth)
+  }
+
+  /** Core of q82 over any (doc_id, text) frame, width-parameterized. */
+  private[graft] def cmsHeavyHitters(documents: DataFrame, width: Int): DataFrame = {
+    val toks = documents
+      .select(explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
+    val sketch = toks
+      .select(explode(expr(cmsCells(width))).as("k"))
+      .groupBy(col("k.r").as("r"), col("k.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("true_count"))
+    exact
+      .select(col("term"), col("true_count"), explode(expr(cmsCells(width))).as("k"))
+      .join(broadcast(sketch), col("k.r") === col("r") && col("k.c") === col("c"))
+      .groupBy("term")
+      .agg(first(col("true_count")).as("true_count"), min(col("n")).as("est_count"))
+      .filter(col("est_count") >= CmsHhMin)
+      .select(
+        col("term"),
+        col("est_count"),
+        col("true_count"),
+        (col("est_count") > col("true_count")).as("overestimated")
+      )
+      .orderBy("term")
+  }
+  val q82Sql: String =
+    s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '$TokenRe')) AS term FROM documents),
+      |cells AS (SELECT r, CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || term), 1, 8) AS BIGINT) % $CmsWidth AS c
+      |          FROM t, (SELECT unnest(range(0, $CmsDepth)) AS r) rr),
+      |sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+      |ex AS (SELECT term, CAST(count(*) AS BIGINT) AS true_count FROM t GROUP BY term),
+      |pr AS (SELECT term, true_count, r,
+      |              CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || term), 1, 8) AS BIGINT) % $CmsWidth AS c
+      |       FROM ex, (SELECT unnest(range(0, $CmsDepth)) AS r) rr),
+      |est AS (SELECT term, any_value(true_count) AS true_count, CAST(min(n) AS BIGINT) AS est_count
+      |        FROM pr JOIN sk USING (r, c) GROUP BY term)
+      |SELECT term, est_count, true_count, est_count > true_count AS overestimated
+      |FROM est WHERE est_count >= $CmsHhMin ORDER BY term""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_tfidf_keywords" -> q58TfIdfKeywords _,
     "q59_unigram_lm" -> q59UnigramLmScore _,
@@ -1189,7 +1266,8 @@ object SignalQueries {
     "q76_zipf_diagnostics" -> q76ZipfDiagnostics _,
     "q78_logistic_quality" -> q78LogisticQuality _,
     "q79_bpe_merges" -> q79BpeMerges _,
-    "q81_bpe_encode" -> q81BpeEncode _
+    "q81_bpe_encode" -> q81BpeEncode _,
+    "q82_cms_heavy_hitters" -> q82CmsHeavyHitters _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1207,6 +1285,7 @@ object SignalQueries {
     "q76_zipf_diagnostics" -> q76Sql,
     "q78_logistic_quality" -> q78Sql,
     "q79_bpe_merges" -> q79Sql,
-    "q81_bpe_encode" -> q81Sql
+    "q81_bpe_encode" -> q81Sql,
+    "q82_cms_heavy_hitters" -> q82Sql
   )
 }

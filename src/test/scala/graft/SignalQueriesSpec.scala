@@ -466,4 +466,34 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val leftover = spark.sparkContext.getPersistentRDDs
     assert(leftover.isEmpty, s"cached RDDs leaked: ${leftover.keys.mkString(",")}")
   }
+
+  // ---------------------------------------------------------------- q82
+
+  test("q82: a width-4 sketch forces collisions; estimates match a plain-Scala CMS replay, error one-sided") {
+    val w = 4
+    def cell(r: Int, term: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s"$r:$term".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % w
+    }
+    // 12 terms across 4 columns per row: collisions are unavoidable
+    val counts = ('a' to 'l').zipWithIndex.map { case (ch, i) => s"ter$ch" -> (200 + i * 13) }
+    val text = counts.flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
+    val sp = spark; import sp.implicits._
+    val got = SignalQueries
+      .cmsHeavyHitters(Seq((1L, text)).toDF("doc_id", "text"), w)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    // independent replay: cell-wise sums, min over rows
+    val cms = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    counts.foreach { case (t, n) => (0 until 4).foreach(r => cms((r, cell(r, t))) += n.toLong) }
+    val expected = counts
+      .map { case (t, n) => (t, (0 until 4).map(r => cms((r, cell(r, t)))).min, n.toLong) }
+      .filter(_._2 >= 200L)
+      .map { case (t, est, tru) => (t, est, tru, est > tru) }
+      .sortBy(_._1)
+    assert(got === expected, s"got $got\nexpected $expected")
+    assert(expected.exists(_._4), "fixture must force at least one collision overestimate")
+    assert(got.forall { case (_, est, tru, _) => est >= tru }, "count-min error is one-sided")
+  }
 }
