@@ -118,21 +118,25 @@ object CorpusPipeline {
 
     // 2: near-dup removal — capped banded LSH + Jaccard verify (q33) and
     // min-label components (q34): every non-minimal cluster member drops
-    val dup = TextQueries
-      .verifiedPairs(exactCp.select("doc_id", "text"), maxBucket)
+    val (vp, relVp) = TextQueries.verifiedPairsReleasable(exactCp.select("doc_id", "text"), maxBucket)
+    val dup = vp
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b")
-    val edgesBoth = dup
-      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-      .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-      .persist()
+    // checkpointed, not persisted: no lineage back into the verify caches
+    // (the q34 discipline), so those release before the CC loop
+    val (edgesBoth, relEdges) = CacheOps.checkpointReleasable(
+      dup
+        .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+        .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+    )
+    relVp()
     val (labels, _, relCC) = TextQueries.connectedComponents(spark, edgesBoth)
+    relEdges() // CC's own edgesLoop checkpoint took over at entry
     val (dropsCp, relDrops) = CacheOps.checkpointReleasable(
       labels.filter(col("node") =!= col("label")).select(col("node").as("doc_id"))
     )
     val nNear = dropsCp.count()
     relCC()
-    edgesBoth.unpersist()
     val (dedupedCp, relDeduped) = CacheOps.checkpointReleasable(
       exactCp.join(dropsCp, Seq("doc_id"), "left_anti")
     )

@@ -45,7 +45,8 @@ object CurationQueries {
     */
   def q54DupPassages(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val w = t(dir, "documents")
+    val w = graft.core.ScanOps
+      .spread(t(dir, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= DupPassageN)
     val grams = w
@@ -115,15 +116,20 @@ object CurationQueries {
     implicit val s: SparkSession = spark
     import spark.implicits._
     val docs = t(dir, "documents")
-    val dup = TextQueries
-      .verifiedPairs(docs)
+    val (vp, relVp) = TextQueries.verifiedPairsReleasable(docs)
+    val dup = vp
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b")
-    val edgesBoth = dup
-      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-      .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-      .persist()
+    // checkpointed, not persisted: no lineage back into the verify caches
+    // (the q34 discipline), so those release before the CC loop
+    val (edgesBoth, relEdges) = graft.core.CacheOps.checkpointReleasable(
+      dup
+        .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+        .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+    )
+    relVp()
     val (labels, _, release) = TextQueries.connectedComponents(spark, edgesBoth)
+    relEdges() // CC's own edgesLoop checkpoint took over at entry
     val q = docs.select(col("doc_id").as("node"), qualityScore.as("quality"))
     val wk = Window.partitionBy(col("cluster")).orderBy(col("quality").desc, col("node").asc)
     val out = labels
@@ -140,13 +146,13 @@ object CurationQueries {
     if (nLabeled <= 2000000L) {
       val rows = out.as[(Long, Long, Long, Double)].collect().sortBy(_._1)
       release()
-      edgesBoth.unpersist()
       spark
         .createDataset(rows.toIndexedSeq)
         .toDF("cluster", "n_members", "keeper", "keeper_quality")
     } else {
-      release()
-      edgesBoth.unpersist()
+      // labels is a local checkpoint (no recompute lineage): the returned
+      // plan still reads it, so release is left to the ContextCleaner on
+      // this rare huge-output path
       out.orderBy("cluster")
     }
   }
@@ -400,7 +406,8 @@ object CurationQueries {
     */
   def q70SequencePack(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val docs = t(dir, "documents")
+    val docs = graft.core.ScanOps
+      .spread(t(dir, "documents"))
       .select(
         col("doc_id"),
         size(expr(s"regexp_extract_all(lower(text), '${SignalQueries.TokenRe}', 0)"))
@@ -454,7 +461,7 @@ object CurationQueries {
     */
   def q77DupSpans(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    dupSpans(t(dir, "documents"))
+    dupSpans(graft.core.ScanOps.spread(t(dir, "documents")))
   }
 
   /** Core of q77 over any (doc_id, text) frame. */

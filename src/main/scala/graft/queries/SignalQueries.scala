@@ -45,13 +45,21 @@ object SignalQueries {
     */
   def q58TfIdfKeywords(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val toks = t(dir, "documents")
+    // r6 measured-first shape: the token explode runs ONCE into a
+    // checkpointed (doc, term, tf) table (the nDocs scalar action used to
+    // re-run the whole explode), and the scan is spread before the
+    // CPU-heavy regex (ScanOps) — then drained with every cache released
+    val toks = graft.core.ScanOps
+      .spread(t(dir, "documents"))
       .select(col("doc_id"), explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val (tf, relTf) = graft.core.CacheOps.checkpointReleasable(
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    )
     val nDocs = tf.select("doc_id").distinct().count()
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df")).filter(col("df") * 2 <= lit(nDocs))
     val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(df_, Seq("term"))
+    val out = tf
+      .join(df_, Seq("term"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TfIdfTopK)
       .select(
@@ -63,6 +71,7 @@ object SignalQueries {
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf")
       )
       .orderBy("doc_id", "rn")
+    graft.core.CacheOps.drain(out, relTf)
   }
   val q58Sql: String =
     s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS term
@@ -98,13 +107,19 @@ object SignalQueries {
     */
   def q59UnigramLmScore(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val tf = t(dir, "documents")
-      .select(col("doc_id"), explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    // r6: one spread token explode into a checkpointed tf table (the total
+    // scalar and the model/join subtrees re-ran it 3× before); drained
+    val (tf, relTf) = graft.core.CacheOps.checkpointReleasable(
+      graft.core.ScanOps
+        .spread(t(dir, "documents"))
+        .select(col("doc_id"), explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+    )
     val model = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val total = model.agg(sum("cnt")).first().getLong(0)
-    tf.join(model, Seq("term"))
+    val out = tf
+      .join(model, Seq("term"))
       .groupBy("doc_id")
       .agg(
         sum("tf").as("n_tokens"),
@@ -115,6 +130,7 @@ object SignalQueries {
       )
       .orderBy(col("avg_logprob").asc, col("doc_id").asc)
       .limit(LmBottomK)
+    graft.core.CacheOps.drainSmall(out, relTf)
   }
   val q59Sql: String =
     s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
@@ -232,11 +248,16 @@ object SignalQueries {
     * assignment `(vec_id, v, cid, dist)` plus the final centroid table —
     * exposed so q72's semantic dedup can block on the TRAINED cells.
     */
-  private[graft] def kmeansFit(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    val embD = emb.select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+  private[graft] def kmeansFit(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame, () => Unit) = {
+    // spread: the embeddings scan is one unsplittable row group at fixture
+    // scale, so every distance fold otherwise runs on ONE core (ScanOps)
+    val embD = graft.core.ScanOps
+      .spread(emb)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
     var cent = embD.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("v").as("c"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
     var assign: DataFrame = null
+    val rels = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     for (it <- 1 to iters) {
       assign = embD
         .crossJoin(broadcast(cent))
@@ -247,21 +268,30 @@ object SignalQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .drop("rn", "c")
-      if (it < iters)
-        cent = assign
-          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos")
-          .agg(round(avg("x"), 6).as("cv"))
-          .groupBy("cid")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+      if (it < iters) {
+        // the k-row centroid table is CHECKPOINTED per iteration: callers
+        // reference cent and assign through several subtrees (norm + the
+        // next iteration + q72's pair self-join), and each reference used
+        // to replay the whole preceding Lloyd chain (r6 measured-first fix)
+        val (cCp, rel) = graft.core.CacheOps.checkpointReleasable(
+          assign
+            .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy("cid", "pos")
+            .agg(round(avg("x"), 6).as("cv"))
+            .groupBy("cid")
+            .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+        )
+        rels += rel
+        cent = cCp
+      }
     }
-    (assign, cent)
+    (assign, cent, () => rels.foreach(_()))
   }
 
   private[graft] def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val (assign, cent) = kmeansFit(emb, k, iters)
+    val (assign, cent, relFit) = kmeansFit(emb, k, iters)
     val norm = cent.select(col("cid"), round(expr("aggregate(c, 0D, (acc, x) -> acc + x * x)"), 4).as("c_sq_norm"))
-    assign
+    val out = assign
       .groupBy("cid")
       .agg(
         count(lit(1)).as("n_vec"),
@@ -271,6 +301,7 @@ object SignalQueries {
       )
       .join(broadcast(norm), Seq("cid"))
       .select("cid", "n_vec", "first_vec", "last_vec", "sum_dist", "c_sq_norm")
+    graft.core.CacheOps.drainSmall(out, relFit)
   }
 
   /** q61 — k-means-trained IVF partitioning: [[KmeansIters]] Lloyd
@@ -468,9 +499,15 @@ object SignalQueries {
   def q69PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cap = TextQueries.NGramPrefixCap
-    val toks = t(dir, "documents")
-      .select(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)").as("ws"))
-      .select(expr(s"slice(ws, 1, $cap)").as("ws"))
+    // r6: the tokenized corpus is computed ONCE into a checkpoint — uni,
+    // bi, and the two scalar actions each re-ran the regex pass before
+    // (4 corpus scans → 1); the scan is spread, and the result drained
+    val (toks, relToks) = graft.core.CacheOps.checkpointReleasable(
+      graft.core.ScanOps
+        .spread(t(dir, "documents"))
+        .select(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)").as("ws"))
+        .select(expr(s"slice(ws, 1, $cap)").as("ws"))
+    )
     val uni = toks.select(explode(col("ws")).as("tok")).groupBy("tok").agg(count(lit(1)).as("c"))
     val bi = toks
       .filter(size(col("ws")) >= 2)
@@ -485,7 +522,8 @@ object SignalQueries {
       .filter(col("cab") >= PmiMinSupport)
     val totU = uni.agg(sum("c")).first().getLong(0)
     val totT = toks.filter(size(col("ws")) >= 2).select(sum(size(col("ws")) - 1)).first().getLong(0)
-    bi.join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+    val out = bi
+      .join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
       .join(uni.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
       .select(
         col("a"),
@@ -498,6 +536,7 @@ object SignalQueries {
       )
       .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
       .limit(PmiTopK)
+    graft.core.CacheOps.drainSmall(out, relToks)
   }
   val q69Sql: String = {
     val cap = TextQueries.NGramPrefixCap
@@ -573,9 +612,16 @@ object SignalQueries {
     */
   def q72SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val (assign, _) = kmeansFit(t(dir, "embeddings"), KmeansK, KmeansIters)
-    semanticDedupDrops(assign.select("cid", "vec_id", "v"), SemDedupTau, SemDedupMaxCell)
-      .orderBy("vec_id")
+    // r6: the trained assignment is checkpointed before the within-cell
+    // pair self-join — both join sides used to replay the entire 2-iteration
+    // Lloyd chain (crossJoin + window ×2 each); drained with caches released
+    val (assign, _, relFit) = kmeansFit(t(dir, "embeddings"), KmeansK, KmeansIters)
+    val (asgCp, relAsg) = graft.core.CacheOps.checkpointReleasable(
+      assign.select("cid", "vec_id", "v")
+    )
+    relFit()
+    val out = semanticDedupDrops(asgCp, SemDedupTau, SemDedupMaxCell).orderBy("vec_id")
+    graft.core.CacheOps.drain(out, relAsg)
   }
   val q72Sql: String =
     s"""WITH e AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
@@ -639,7 +685,8 @@ object SignalQueries {
     val gen = s"flatten(transform(sequence(1, size(ws) - 1), i -> " +
       s"transform(sequence(i + 1, least(i + $CoocWindow, size(ws))), j -> " +
       "struct(element_at(ws, i) AS a, element_at(ws, j) AS b, j - i AS d))))"
-    t(dir, "documents")
+    graft.core.ScanOps
+      .spread(t(dir, "documents"))
       .select(expr(s"slice(regexp_extract_all(lower(text), '$TokenRe', 0), 1, $cap)").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(expr(gen)).as("p"))
@@ -686,20 +733,31 @@ object SignalQueries {
     */
   def q74DsirScore(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val tf = t(dir, "documents")
-      .select(
-        col("doc_id"),
-        col("lang"),
-        explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term")
-      )
-      .groupBy("doc_id", "lang", "term")
-      .agg(count(lit(1)).as("tf"))
-    val mc = tf.groupBy("term").agg(sum("tf").as("cc"))
+    // r6: ONE spread token explode into a checkpointed tf table (the three
+    // scalar actions — vocab, corpus-token and target-token totals — each
+    // re-ran the whole explode before: 5 corpus passes → 1); the vocab-sized
+    // corpus model is checkpointed too (counted + aggregated + joined);
+    // drained with every cache released
+    val (tf, relTf) = graft.core.CacheOps.checkpointReleasable(
+      graft.core.ScanOps
+        .spread(t(dir, "documents"))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term")
+        )
+        .groupBy("doc_id", "lang", "term")
+        .agg(count(lit(1)).as("tf"))
+    )
+    val (mc, relMc) = graft.core.CacheOps.checkpointReleasable(
+      tf.groupBy("term").agg(sum("tf").as("cc"))
+    )
     val mt = tf.filter(col("lang") === DsirTargetLang).groupBy("term").agg(sum("tf").as("ct"))
     val vocab = mc.count()
     val ucv = mc.agg(sum("cc")).first().getLong(0) + vocab
     val utv = mt.agg(coalesce(sum("ct"), lit(0L))).first().getLong(0) + vocab
-    tf.join(mc, Seq("term"))
+    val out = tf
+      .join(mc, Seq("term"))
       .join(mt, Seq("term"), "left")
       .withColumn(
         "lr",
@@ -715,6 +773,7 @@ object SignalQueries {
       )
       .orderBy(col("dsir").desc, col("doc_id").asc)
       .limit(DsirTopK)
+    graft.core.CacheOps.drainSmall(out, relTf, relMc)
   }
   val q74Sql: String =
     s"""WITH tf AS (SELECT doc_id, lang, term, count(*) AS tf
@@ -751,17 +810,23 @@ object SignalQueries {
     */
   def q75MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val src = t(dir, "documents")
-      .select(
-        col("source"),
-        size(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).cast("long").as("n")
-      )
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+    // r6: the O(sources) aggregate is checkpointed once (the two
+    // normalizing scalars each re-ran the corpus regex pass before:
+    // 3 corpus scans → 1); spread + drained
+    val (src, relSrc) = graft.core.CacheOps.checkpointReleasable(
+      graft.core.ScanOps
+        .spread(t(dir, "documents"))
+        .select(
+          col("source"),
+          size(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).cast("long").as("n")
+        )
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+    )
     val tot = src.agg(sum("tokens")).first().getLong(0).toDouble
     val w = src.withColumn("pw", pow(col("tokens") / lit(tot), MixAlpha))
     val z = w.agg(sum("pw")).first().getDouble(0)
-    w.select(
+    val out = w.select(
       col("source"),
       col("n_docs"),
       col("tokens"),
@@ -769,6 +834,7 @@ object SignalQueries {
       round(col("pw") / lit(z), 4).as("alpha_share"),
       round(col("pw") / lit(z) * lit(tot) / col("tokens"), 4).as("epochs")
     ).orderBy("source")
+    graft.core.CacheOps.drainSmall(out, relSrc)
   }
   val q75Sql: String =
     s"""WITH tf AS (SELECT source, CAST(len(regexp_extract_all(lower(text), '$TokenRe')) AS BIGINT) AS n
@@ -801,10 +867,16 @@ object SignalQueries {
     */
   def q76ZipfDiagnostics(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val tf = t(dir, "documents")
-      .select(explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
-      .groupBy("term")
-      .agg(count(lit(1)).as("f"))
+    // r6: the vocab-sized term-frequency table is checkpointed once (the
+    // totals scalar and the two top-N passes each re-ran the corpus explode
+    // before: 3 corpus scans → 1); spread + drained
+    val (tf, relTf) = graft.core.CacheOps.checkpointReleasable(
+      graft.core.ScanOps
+        .spread(t(dir, "documents"))
+        .select(explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("f"))
+    )
     val totals = tf.agg(count(lit(1)).as("vocab"), sum("f").as("tokens")).first()
     val (vocab, tokens) = (totals.getLong(0), totals.getLong(1))
     val top = tf
@@ -814,7 +886,7 @@ object SignalQueries {
       .select(log(col("rk").cast("double")).as("x"), log(col("f").cast("double")).as("y"))
     val m = top.agg(avg("x").as("mx"), avg("y").as("my"), count(lit(1)).as("n")).first()
     val (mx, my, nFit) = (m.getDouble(0), m.getDouble(1), m.getLong(2))
-    top
+    val out = top
       .agg(
         (sum((col("x") - mx) * (col("y") - my)) / sum((col("x") - mx) * (col("x") - mx))).as("slope")
       )
@@ -825,6 +897,7 @@ object SignalQueries {
         round(col("slope"), 4).as("zipf_slope"),
         round(lit(my) - col("slope") * lit(mx), 4).as("intercept")
       )
+    graft.core.CacheOps.drainSmall(out, relTf)
   }
   val q76Sql: String =
     s"""WITH tf AS (SELECT term, count(*) AS f
@@ -869,8 +942,10 @@ object SignalQueries {
     * p=0.5), so the oracle replays the entire trajectory exactly. Labels
     * use the all-integer diversity predicate (2·distinct > total) so the
     * two engines cannot disagree on y; scores are rounded before the
-    * predicted-class comparison so a doc sitting ON the boundary cannot
-    * flip between engines.
+    * predicted-class comparison, which shrinks (but does not eliminate —
+    * summation-order noise could still cross a rounding boundary) the
+    * chance a boundary doc flips between engines; the value-level oracle
+    * run is the actual guarantee.
     */
   def q78LogisticQuality(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -880,7 +955,8 @@ object SignalQueries {
   /** Core of q78 over any (doc_id, text) frame. */
   private[graft] def logisticQuality(documents: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
-    val lab = documents
+    val lab = graft.core.ScanOps
+      .spread(documents)
       .select(
         col("doc_id"),
         when(size(array_distinct(ws)) * 2 > size(ws), 1.0).otherwise(0.0).as("y"),
@@ -897,10 +973,33 @@ object SignalQueries {
       .agg(count(lit(1)).as("c"))
       .withColumn("n", sum(col("c")).over(Window.partitionBy("doc_id")))
       .select(col("doc_id"), col("h"), (col("c").cast("double") / col("n").cast("double")).as("x"))
-    val xy = x.join(lab.select("doc_id", "y"), Seq("doc_id"))
+    // r6: the hashed-feature table is checkpointed ONCE — it feeds w1, r2,
+    // w2 and the final scoring pass, and every one of those actions used to
+    // replay the token explode + window from scratch (4+ corpus passes → 1)
+    val (xy, relXy) = graft.core.CacheOps.checkpointReleasable(
+      x.join(lab.select("doc_id", "y"), Seq("doc_id"))
+    )
     // one action for both scalars: lab is doc-level and explode-free, so
     // this job never touches the token fan-out
     val labAgg = lab.agg(count(lit(1)), sum(lit(0.5) - col("y"))).first()
+    // degenerate corpus (no [a-z]{3,} token anywhere): the SQL oracle's
+    // empty `l` CTE yields an empty result — match it instead of reading a
+    // null sum / dividing by zero (r5 ADVICE)
+    if (labAgg.getLong(0) == 0L) {
+      relXy()
+      import org.apache.spark.sql.types._
+      return documents.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(
+          Seq(
+            StructField("doc_id", LongType),
+            StructField("y", LongType),
+            StructField("score", DoubleType),
+            StructField("predicted", BooleanType)
+          )
+        )
+      )
+    }
     val nDocs = labAgg.getLong(0).toDouble
     // iteration 1: w = 0 ⇒ p = 0.5 for every doc, so the first gradient is
     // closed-form in (0.5 − y) — the oracle replays exactly this
@@ -908,13 +1007,17 @@ object SignalQueries {
       .groupBy("h")
       .agg((sum((lit(0.5) - col("y")) * col("x")) * lit(-LrRate / nDocs)).as("w"))
     val b1 = labAgg.getDouble(1) * (-LrRate / nDocs)
-    // iteration 2: forward pass, residual, one more bucket-keyed gradient
+    // iteration 2: forward pass, residual, one more bucket-keyed gradient.
+    // r2 is checkpointed too — it feeds both the w2 gradient and the b2
+    // scalar, each of which used to recompute it
     val sig = (z: Column) => lit(1.0) / (lit(1.0) + exp(-z))
-    val r2 = xy
-      .join(broadcast(w1), Seq("h"))
-      .groupBy("doc_id")
-      .agg(sum(col("w") * col("x")).as("wx"), first(col("y")).as("y"))
-      .select(col("doc_id"), (sig(col("wx") + lit(b1)) - col("y")).as("r"))
+    val (r2, relR2) = graft.core.CacheOps.checkpointReleasable(
+      xy
+        .join(broadcast(w1), Seq("h"))
+        .groupBy("doc_id")
+        .agg(sum(col("w") * col("x")).as("wx"), first(col("y")).as("y"))
+        .select(col("doc_id"), (sig(col("wx") + lit(b1)) - col("y")).as("r"))
+    )
     val w2 = xy
       .join(r2, Seq("doc_id"))
       .groupBy("h")
@@ -922,7 +1025,8 @@ object SignalQueries {
       .join(w1, Seq("h"))
       .select(col("h"), (col("w") + col("g")).as("w"))
     val b2 = b1 + r2.agg(sum("r")).first().getDouble(0) * (-LrRate / nDocs)
-    xy.join(broadcast(w2), Seq("h"))
+    val out = xy
+      .join(broadcast(w2), Seq("h"))
       .groupBy("doc_id")
       .agg(sum(col("w") * col("x")).as("wx"), first(col("y")).as("y"))
       .select(
@@ -932,6 +1036,7 @@ object SignalQueries {
         (round(sig(col("wx") + lit(b2)), 4) > 0.5).as("predicted")
       )
       .orderBy("doc_id")
+    graft.core.CacheOps.drain(out, relXy, relR2)
   }
   val q78Sql: String =
     s"""WITH lab AS (SELECT doc_id,
@@ -1017,14 +1122,18 @@ object SignalQueries {
     // table once so iterations 2..k fold over it instead of re-exploding
     // the corpus per action (the q49/CacheOps release discipline)
     val (w0, releaseW0) = graft.core.CacheOps.checkpointReleasable(
-      documents
+      graft.core.ScanOps
+        .spread(documents)
         .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
         .groupBy("word")
         .agg(count(lit(1)).as("wc"))
         .select(col("wc"), trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
     )
     var w = w0
-    val merges = (1 to BpeMerges).map { k =>
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BpeMerges && !exhausted) {
       val pairs = w
         .select(col("wc"), split(col("seq"), " ").as("ws"))
         // single-symbol words carry no pairs — and guard the q52 trap:
@@ -1041,19 +1150,26 @@ object SignalQueries {
         )
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("wc")).as("cnt"))
-      val best = pairs
+      pairs
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1)
         .collect()
-        .headOption
-        .getOrElse(sys.error(s"q79: no symbol pairs at iteration $k — corpus has no multi-char words"))
-      val (p1, p2, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      w = w.select(col("wc"), expr(bpeFold(p1, p2)).as("seq"))
-      (k.toLong, p1, p2, p1 + p2, cnt)
+        .headOption match {
+        case None =>
+          // degenerate corpus (no adjacent symbol pair left): return the
+          // merges learned so far — matches the oracle, whose empty b_k
+          // emits no row for this or later iterations (r5 ADVICE)
+          exhausted = true
+        case Some(best) =>
+          val (p1, p2, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+          w = w.select(col("wc"), expr(bpeFold(p1, p2)).as("seq"))
+          merges += ((k.toLong, p1, p2, p1 + p2, cnt))
+      }
+      k += 1
     }
     // the merge table is driver literals — nothing downstream reads w0
     releaseW0()
-    merges
+    merges.toSeq
   }
 
   /** Core of q79 over any (doc_id, text) frame. */
@@ -1111,7 +1227,26 @@ object SignalQueries {
   /** Core of q81 over any (doc_id, text) frame. */
   private[graft] def bpeEncode(documents: DataFrame): DataFrame = {
     val merges = trainBpe(documents)
-    val perDocWord = documents
+    if (merges.size < BpeMerges) {
+      // an iteration ran out of pairs: the oracle's empty b_k empties every
+      // later w_k CTE and with it the whole per-doc report — match it
+      // (r5 ADVICE; unreachable on any real corpus)
+      import org.apache.spark.sql.types._
+      return documents.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(
+          Seq(
+            StructField("doc_id", LongType),
+            StructField("n_words", LongType),
+            StructField("n_chars", LongType),
+            StructField("n_tokens", LongType),
+            StructField("ratio", DoubleType)
+          )
+        )
+      )
+    }
+    val perDocWord = graft.core.ScanOps
+      .spread(documents)
       .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
@@ -1214,16 +1349,29 @@ object SignalQueries {
     cmsHeavyHitters(t(dir, "documents"), CmsWidth)
   }
 
-  /** Core of q82 over any (doc_id, text) frame, width-parameterized. */
+  /** Core of q82 over any (doc_id, text) frame, width-parameterized.
+    *
+    * r6 measured-first shape: the corpus explode runs ONCE into the
+    * checkpointed exact term-count table, and the sketch is built FROM those
+    * counts — cell(r, c) += true_count(term) for every term hashing there,
+    * which is algebraically identical to counting occurrences cell-wise
+    * (the CMS update is additive) while shrinking the cell explode from
+    * O(4 × occurrences) to O(4 × vocab) rows. The r5 shape exploded the
+    * corpus twice (sketch + exact) and fanned every token OCCURRENCE out to
+    * its 4 cells.
+    */
   private[graft] def cmsHeavyHitters(documents: DataFrame, width: Int): DataFrame = {
-    val toks = documents
+    val toks = graft.core.ScanOps
+      .spread(documents)
       .select(explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
-    val sketch = toks
-      .select(explode(expr(cmsCells(width))).as("k"))
+    val (exact, relExact) = graft.core.CacheOps.checkpointReleasable(
+      toks.groupBy("term").agg(count(lit(1)).as("true_count"))
+    )
+    val sketch = exact
+      .select(col("true_count"), explode(expr(cmsCells(width))).as("k"))
       .groupBy(col("k.r").as("r"), col("k.c").as("c"))
-      .agg(count(lit(1)).as("n"))
-    val exact = toks.groupBy("term").agg(count(lit(1)).as("true_count"))
-    exact
+      .agg(sum(col("true_count")).as("n"))
+    val out = exact
       .select(col("term"), col("true_count"), explode(expr(cmsCells(width))).as("k"))
       .join(broadcast(sketch), col("k.r") === col("r") && col("k.c") === col("c"))
       .groupBy("term")
@@ -1236,6 +1384,7 @@ object SignalQueries {
         (col("est_count") > col("true_count")).as("overestimated")
       )
       .orderBy("term")
+    graft.core.CacheOps.drainSmall(out, relExact)
   }
   val q82Sql: String =
     s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '$TokenRe')) AS term FROM documents),

@@ -185,7 +185,7 @@ object TextQueries {
   def q24MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     def h(k: Int): Column = min(md5(concat(lit(s"s$k:"), col("tok")).cast("binary"))).as(s"h$k")
-    val sig = tokens(t(dir, "documents")).groupBy("doc_id").agg(h(1), h(2), h(3), h(4))
+    val sig = tokens(graft.core.ScanOps.spread(t(dir, "documents"))).groupBy("doc_id").agg(h(1), h(2), h(3), h(4))
     val bands = sig
       .select(col("doc_id"), md5(concat(col("h1"), col("h2")).cast("binary")).as("b"), lit(1).as("band"))
       .union(sig.select(col("doc_id"), md5(concat(col("h3"), col("h4")).cast("binary")).as("b"), lit(2).as("band")))
@@ -222,7 +222,7 @@ object TextQueries {
     */
   def q25Simhash(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val toks = tokens(t(dir, "documents"))
+    val toks = tokens(graft.core.ScanOps.spread(t(dir, "documents")))
       .withColumn("h", expr("cast(conv(substring(md5(cast(tok as binary)), 1, 8), 16, 10) as bigint)"))
     toks
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
@@ -249,7 +249,7 @@ object TextQueries {
     */
   def q26AnnCosineTopK(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val emb = t(dir, "embeddings")
+    val emb = graft.core.ScanOps.spread(t(dir, "embeddings"))
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val dot = expr(
       "aggregate(zip_with(embedding, qe, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
@@ -305,7 +305,7 @@ object TextQueries {
     val bucket = (1 to 8)
       .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
       .reduce((a, b) => concat(a, b))
-    val emb = t(dir, "embeddings").withColumn("bucket", bucket)
+    val emb = graft.core.ScanOps.spread(t(dir, "embeddings")).withColumn("bucket", bucket)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"), col("bucket").as("qbucket"))
     val dot = expr(
       "aggregate(zip_with(embedding, qe, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
@@ -343,7 +343,7 @@ object TextQueries {
     val bucket = (1 to 8)
       .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
       .reduce((a, b) => concat(a, b))
-    val emb = t(dir, "embeddings").withColumn("bucket", bucket)
+    val emb = graft.core.ScanOps.spread(t(dir, "embeddings")).withColumn("bucket", bucket)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"), col("bucket").as("qbucket"))
     val flips: Seq[Column] = (1 to 8).map { i =>
       concat(
@@ -416,7 +416,8 @@ object TextQueries {
   ): DataFrame = {
     implicit val s: SparkSession = spark
     val w = Window.partitionBy(col("bucket"))
-    val e = t(dir, "embeddings")
+    val e = graft.core.ScanOps
+      .spread(t(dir, "embeddings"))
       .select(col("vec_id"), col("embedding"), signBucket(bits).as("bucket"))
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n").between(2, maxBucket))
@@ -521,7 +522,10 @@ object TextQueries {
     */
   def q42SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val sh = q25Simhash(spark, dir) // (doc_id, simhash)
+    // r6: the simhash table is checkpointed — the banded self-join reads it
+    // from BOTH sides, each of which used to replay the full 32-bit vote
+    // pipeline (token explode × 32 bits × corpus); drained with release
+    val (sh, relSh) = graft.core.CacheOps.checkpointReleasable(q25Simhash(spark, dir)) // (doc_id, simhash)
     val bands = sh.select(
       col("doc_id"),
       col("simhash"),
@@ -535,12 +539,13 @@ object TextQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sa", "sb")
       .distinct()
-    cand
+    val out = cand
       .withColumn("hd", expr("cast(bit_count(sa ^ sb) as int)"))
       .filter(col("hd") <= 3)
       .groupBy("hd")
       .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("first_a"))
       .orderBy("hd")
+    graft.core.CacheOps.drainSmall(out, relSh)
   }
   val q42Sql: String =
     s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
@@ -567,7 +572,7 @@ object TextQueries {
   // stage is a shuffle-by-key or a bounded iterative join.
 
   /** Distinct 3-gram shingles per doc (word trigrams joined by '_'). */
-  private def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
@@ -580,19 +585,28 @@ object TextQueries {
         ).as("tok")
       )
 
-  /** (doc_id, band, b): each doc's LSH band-bucket keys (2 bands of 4
-    * minhashes over 3-gram shingles).
+  /** (doc_id, h1..h8): the 8-minhash signature table — O(docs) skinny rows,
+    * the ONE LSH intermediate worth materializing at any scale (the shingle
+    * explode it aggregates is corpus-sized: recompute, never cache).
     */
-  private[graft] def bandBuckets(docs: DataFrame): DataFrame = {
+  private def signatures(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
     def h(k: Int): Column = min(md5(concat(lit(s"s$k:"), col("tok")).cast("binary"))).as(s"h$k")
-    val sig = sh.groupBy("doc_id").agg(h(1), h(2), h(3), h(4), h(5), h(6), h(7), h(8))
+    sh.groupBy("doc_id").agg(h(1), h(2), h(3), h(4), h(5), h(6), h(7), h(8))
+  }
+
+  /** Band-bucket keys from a signature table (2 bands of 4 minhashes). */
+  private def bandsFromSig(sig: DataFrame): DataFrame =
     sig
       .select(col("doc_id"), md5(concat(col("h1"), col("h2"), col("h3"), col("h4")).cast("binary")).as("b"), lit(1).as("band"))
       .union(
         sig.select(col("doc_id"), md5(concat(col("h5"), col("h6"), col("h7"), col("h8")).cast("binary")).as("b"), lit(2).as("band"))
       )
-  }
+
+  /** (doc_id, band, b): each doc's LSH band-bucket keys (2 bands of 4
+    * minhashes over 3-gram shingles).
+    */
+  private[graft] def bandBuckets(docs: DataFrame): DataFrame = bandsFromSig(signatures(docs))
 
   /** Band buckets above the cap (band, b, n_docs) — the buckets the
     * candidate join drops. Exposed for logging/monitoring and pinned by
@@ -635,8 +649,15 @@ object TextQueries {
     * probing an incremental corpus (StreamDedup) pass just the candidate
     * docs so the verify stays O(candidates), not O(corpus).
     */
-  private[graft] def jaccardVerify(docs: DataFrame, cand: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+  private[graft] def jaccardVerify(docs: DataFrame, cand: DataFrame): DataFrame =
+    jaccardVerifyFromShingles(shingles(docs), cand)
+
+  /** [[jaccardVerify]] over a PRECOMPUTED shingle table — the shingles feed
+    * three subtrees (sizes + both intersect sides), so callers that can
+    * afford to materialize them (candidate-doc shingles are O(candidates))
+    * checkpoint once and pass the cache here.
+    */
+  private[graft] def jaccardVerifyFromShingles(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
@@ -651,22 +672,62 @@ object TextQueries {
       .withColumn("jaccard", col("ii").cast("double") / (col("sza") + col("szb") - col("ii")))
   }
 
-  /** Verified near-dup pairs: LSH candidates with exact shingle-Jaccard.
-    * Dropped oversize buckets are logged when GRAFT_LSH_LOG=1 (the log
-    * costs one extra signature pass, so it is opt-in for the bench path;
+  /** Verified near-dup pairs: LSH candidates with exact shingle-Jaccard,
+    * computed in the measured-first shape (r6): the corpus shingle explode
+    * runs ONCE, into the checkpointed O(docs) signature table; candidates
+    * (capped, checkpointed — O(cap²·buckets) by construction) come from the
+    * cached signatures; and the exact-Jaccard verify shingles ONLY the docs
+    * that appear in a candidate pair (a left-semi prune of the corpus —
+    * guide §3.2's reduce-the-big-side-before-the-join, candidates ≪ corpus
+    * at every scale). The r5 shape re-exploded the full corpus for the
+    * signature pass AND all three verify subtrees — ~10 corpus-wide explode
+    * stages per query where one suffices (profiled: the 2.3 s/1.2 s job
+    * family dominating q34). Values are unchanged: per-pair Jaccard depends
+    * only on the pair's own shingle sets.
+    *
+    * Dropped oversize buckets are logged when GRAFT_LSH_LOG=1 (opt-in;
     * [[oversizeBandBuckets]] is always available for monitoring).
+    *
+    * Returns (pairs, release); callers drain the pairs (or fold them into
+    * their own checkpoint) before releasing.
     */
-  private[graft] def verifiedPairs(docs: DataFrame, maxBucket: Int = LshMaxBucket): DataFrame = {
+  private[graft] def verifiedPairsReleasable(
+      docs: DataFrame,
+      maxBucket: Int = LshMaxBucket
+  ): (DataFrame, () => Unit) = {
+    val docsSpread = graft.core.ScanOps.spread(docs)
+    val (sig, relSig) = graft.core.CacheOps.checkpointReleasable(signatures(docsSpread))
     if (sys.env.get("GRAFT_LSH_LOG").contains("1")) {
-      val dropped = oversizeBandBuckets(docs, maxBucket).collect()
+      val dropped = bandsFromSig(sig)
+        .groupBy("band", "b")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > maxBucket)
+        .collect()
       if (dropped.nonEmpty)
         System.err.println(
           s"[lsh] dropped ${dropped.length} band buckets above cap=$maxBucket: " +
             dropped.take(5).map(r => s"(band=${r.getInt(0)}, n=${r.getLong(2)})").mkString(", ")
         )
     }
-    jaccardVerify(docs, candidatePairs(docs, maxBucket))
+    val (cand, relCand) = graft.core.CacheOps.checkpointReleasable(
+      candidatePairsFromBuckets(bandsFromSig(sig), maxBucket)
+    )
+    relSig() // candidates are materialized; the signatures served their purpose
+    val candIds = cand
+      .select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val (shCand, relSh) = graft.core.CacheOps.checkpointReleasable(
+      shingles(docsSpread.join(candIds, Seq("doc_id"), "left_semi"))
+    )
+    (jaccardVerifyFromShingles(shCand, cand), () => { relCand(); relSh() })
   }
+
+  /** [[verifiedPairsReleasable]] with the caches left to the ContextCleaner
+    * — the convenience form for specs and one-shot callers.
+    */
+  private[graft] def verifiedPairs(docs: DataFrame, maxBucket: Int = LshMaxBucket): DataFrame =
+    verifiedPairsReleasable(docs, maxBucket)._1
 
   private val shingleSqlPrefix: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -696,7 +757,8 @@ object TextQueries {
     */
   def q33LshDedupPairs(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    verifiedPairs(t(dir, "documents"))
+    val (vp, rel) = verifiedPairsReleasable(t(dir, "documents"))
+    val out = vp
       .select(
         col("doc_a"),
         col("doc_b"),
@@ -704,6 +766,7 @@ object TextQueries {
         (col("jaccard") >= 0.5).as("is_dup")
       )
       .orderBy("doc_a", "doc_b")
+    graft.core.CacheOps.drain(out, rel)
   }
   val q33Sql: String =
     shingleSqlPrefix +
@@ -719,12 +782,23 @@ object TextQueries {
     * a chain of 64 near-dups resolves in ~6 iterations, not 64
     * (TextDedupSpec pins the bound). Convergence test: labels only ever
     * decrease, so the label SUM strictly decreases until the fixpoint —
-    * one null-safe scalar aggregate per iteration instead of a comparison
-    * join. Lineage is cut with an eager localCheckpoint every 8 iterations
-    * (same pattern as IterativeRepair) so plan depth stays bounded.
+    * a null-safe scalar aggregate over the iteration's cache.
+    *
+    * ONE substantive driver action per iteration (r5 verdict #1): the
+    * iteration's labels land in a single EAGER localCheckpoint (internal-row
+    * cache + lineage cut, released deterministically through CacheOps), and
+    * the convergence sum is a scan of that cache. The r5 shape rebased
+    * through `df.rdd` instead, which (a) forced a full InternalRow→Row
+    * conversion both ways and cached Java Row objects, and (b) under AQE
+    * ran each rebase's shuffle stages as eager jobs — three dispatches plus
+    * two row-format round-trips per iteration, the measured ~2× q34/q55
+    * regression. The pointer jump self-joins `prop` without materializing
+    * it: both sides share the identical Exchange subtree, which Spark's
+    * exchange reuse evaluates once.
+    *
     * Returns (labels (node, label), iterations, release) — `release` drops
-    * the final label table's cached blocks (the data stays recomputable
-    * through RDD lineage).
+    * the final label table's checkpoint cache NOW (callers drain first:
+    * a local checkpoint has no recompute lineage).
     */
   private[graft] def connectedComponents(
       spark: SparkSession,
@@ -736,48 +810,51 @@ object TextQueries {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    // Rebase a label table onto a flat LogicalRDD backed by a persisted
-    // row RDD. This cuts the logical plan EVERY iteration — the pointer
-    // jump self-joins the previous iteration's output, so without a cut the
-    // plan tree doubles per iteration and the per-action explain rendering
-    // alone goes exponential. Unlike localCheckpoint, the returned RDD
-    // handle makes release deterministic (no cache outlives the query).
-    def rebase(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
-    var (labels, labelsRdd) = rebase(
-      edgesBoth.select(col("node")).distinct().withColumn("label", col("node"))
+    // a localCheckpoint's LogicalRDD keeps the source plan's attribute ids
+    // and origin constraints; referencing one checkpoint from BOTH branches
+    // of a union trips Catalyst's union constraint rewrite. The self-union
+    // ("keep your own label") is therefore folded into the EDGE table as
+    // self-loops, built once: min over neighbors' labels then includes the
+    // node's own label through its (node, node) edge — identical algebra,
+    // one union and one plan-reference fewer per iteration. The re-alias
+    // projection after each checkpoint mints fresh ids for the remaining
+    // join references.
+    def fresh(df: DataFrame): DataFrame =
+      df.select(col("node").as("node"), col("label").as("label"))
+    val nodes = edgesBoth.select(col("node")).distinct()
+    val (edgesLoop, relEdges) = graft.core.CacheOps.checkpointReleasable(
+      edgesBoth.union(nodes.select(col("node"), col("node").as("nbr")))
     )
+    var (labels0, relLabels) = graft.core.CacheOps.checkpointReleasable(
+      edgesLoop.filter(col("node") === col("nbr")).select(col("node"), col("node").as("label"))
+    )
+    var labels = fresh(labels0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged) {
-      val prop = edgesBoth
+      val prop = edgesLoop
         .join(labels, Seq("node"))
         .select(col("nbr").as("node"), col("label"))
-        .union(labels)
         .groupBy("node")
         .agg(min(col("label")).as("label"))
-      val (propDF, propRdd) = rebase(prop)
       // pointer jump (path halving): every label value is itself a node
       // (labels start as node ids and min() preserves membership), so the
       // lookup join is total; label(label(x)) ≤ label(x) by monotonicity
-      val jump = propDF
+      val jump = prop
         .as("a")
-        .join(propDF.as("b"), col("a.label") === col("b.node"))
+        .join(prop.as("b"), col("a.label") === col("b.node"))
         .select(col("a.node").as("node"), least(col("a.label"), col("b.label")).as("label"))
-      val (jumpDF, jumpRdd) = rebase(jump)
-      val s = labelSum(jumpDF)
-      propRdd.unpersist()
-      labelsRdd.unpersist()
-      labels = jumpDF
-      labelsRdd = jumpRdd
+      val (jumpCp, relJump) = graft.core.CacheOps.checkpointReleasable(jump)
+      val s = labelSum(jumpCp)
+      relLabels()
+      labels = fresh(jumpCp)
+      relLabels = relJump
       iter += 1
       if (s.compareTo(prevSum) == 0) converged = true else prevSum = s
     }
-    val finalRdd = labelsRdd
-    (labels, iter, () => { finalRdd.unpersist(); () })
+    relEdges()
+    (labels, iter, relLabels)
   }
 
   /** q34 — dedup cluster resolution: min-id connected components over the
@@ -792,12 +869,19 @@ object TextQueries {
   def q34DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val dup = verifiedPairs(t(dir, "documents")).filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-    val edgesBoth = dup
-      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-      .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-      .persist()
+    val (vp, relVp) = verifiedPairsReleasable(t(dir, "documents"))
+    val dup = vp.filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    // the edge table is CHECKPOINTED (not merely persisted): it has no
+    // lineage back into the verify caches, so those release immediately and
+    // a CC-loop cache miss can never try to recompute through them
+    val (edgesBoth, relEdges) = graft.core.CacheOps.checkpointReleasable(
+      dup
+        .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+        .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+    )
+    relVp()
     val (labels, _, release) = connectedComponents(spark, edgesBoth)
+    relEdges() // CC's own edgesLoop checkpoint took over at entry
     val out = labels
       .groupBy(col("label").as("keeper"))
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
@@ -805,11 +889,11 @@ object TextQueries {
     if (nLabeled <= 2000000L) {
       val rows = out.as[(Long, Long, Long)].collect().sortBy(_._1)
       release()
-      edgesBoth.unpersist()
       spark.createDataset(rows.toIndexedSeq).toDF("keeper", "n_members", "max_member")
     } else {
-      release()
-      edgesBoth.unpersist()
+      // labels is a local checkpoint (no recompute lineage): the returned
+      // plan still reads it, so release is left to the ContextCleaner on
+      // this rare huge-output path
       out.orderBy("keeper")
     }
   }
@@ -849,7 +933,7 @@ object TextQueries {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("cand_id").asc)
     // candidate generation (incl. the dense-block cap) is batchAnnCandidates
     // — the ONE implementation TextDedupSpec pins; this query only scores it
-    batchAnnCandidates(t(dir, "embeddings"), bits = 4, maxBucket = LshMaxBucket, queryIds = (1L to 5L))
+    batchAnnCandidates(graft.core.ScanOps.spread(t(dir, "embeddings")), bits = 4, maxBucket = LshMaxBucket, queryIds = (1L to 5L))
       .withColumn("cos_r", round(dot / (sqrt(nq) * sqrt(nc)), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -886,7 +970,8 @@ object TextQueries {
   def q45RegexTokens(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-    t(dir, "documents")
+    graft.core.ScanOps
+      .spread(t(dir, "documents"))
       .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$pat', 0)").as("toks"))
       .select(
         col("doc_id"),
@@ -939,7 +1024,10 @@ object TextQueries {
     // positions capped at 2000 ON BOTH SIDES (the oracle's bounded-range
     // trick can't enumerate unbounded lengths) — an indexing-prefix bound,
     // mirrored exactly so long documents can't desynchronize the oracle
-    val docs = t(dir, "documents").select(col("doc_id"), lower(col("text")).as("t")).filter(length(col("t")) >= 3)
+    val docs = graft.core.ScanOps
+      .spread(t(dir, "documents"))
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 3)
     val tri = docs.select(
       col("doc_id"),
       explode(array_distinct(expr("transform(sequence(1, least(length(t) - 2, 2000)), i -> substring(t, i, 3))"))).as("g")
@@ -1036,7 +1124,12 @@ object TextQueries {
     */
   def q47Decontamination(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    decontaminationScan(t(dir, "documents"), benchMaxId = 16L, dfCap = LshMaxBucket, topK = 5)
+    decontaminationScan(
+      graft.core.ScanOps.spread(t(dir, "documents")),
+      benchMaxId = 16L,
+      dfCap = LshMaxBucket,
+      topK = 5
+    )
   }
   val q47Sql: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -1136,7 +1229,7 @@ object TextQueries {
     */
   def q50Repetition(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    repetitionSignals(t(dir, "documents"))
+    repetitionSignals(graft.core.ScanOps.spread(t(dir, "documents")))
   }
 
   /** Core of q50 over any (doc_id, text) frame — spec-testable with planted
@@ -1243,7 +1336,7 @@ object TextQueries {
     */
   def q52FilterCascade(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    filterCascade(t(dir, "documents"))
+    filterCascade(graft.core.ScanOps.spread(t(dir, "documents")))
   }
 
   /** Core of q52 over any (doc_id, text) frame — spec-testable with docs
@@ -1433,7 +1526,8 @@ object TextQueries {
     implicit val s: SparkSession = spark
     val docs = t(dir, "documents")
     val splits = docs.select(col("doc_id"), splitCol.as("split"))
-    verifiedPairs(docs)
+    val (vp, rel) = verifiedPairsReleasable(docs)
+    val out = vp
       .filter(col("jaccard") >= 0.5)
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
       .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
@@ -1446,6 +1540,7 @@ object TextQueries {
         round(col("jaccard"), 4).as("jaccard_r")
       )
       .orderBy("doc_a", "doc_b")
+    graft.core.CacheOps.drain(out, rel)
   }
   val q80Sql: String =
     shingleSqlPrefix +

@@ -129,8 +129,14 @@ object StreamDedup {
       case Some(p) => newDocs.select("doc_id", "text").unionByName(p.select("doc_id", "text"))
       case None    => newDocs.select("doc_id", "text")
     }
+    // candidate-doc shingles feed three verify subtrees (sizes + both
+    // intersect sides): checkpoint once — O(candidates) rows (the same
+    // measured-first fix as verifiedPairsReleasable)
+    val (shCand, relSh) = graft.core.CacheOps.checkpointReleasable(
+      TextQueries.shingles(corpus.join(candIds, Seq("doc_id")))
+    )
     val pairs = TextQueries
-      .jaccardVerify(corpus.join(candIds, Seq("doc_id")), cand)
+      .jaccardVerifyFromShingles(shCand, cand)
       .select(
         col("doc_a"),
         col("doc_b"),
@@ -155,7 +161,7 @@ object StreamDedup {
       .filter(col("__rn") + coalesce(col("__k"), lit(0L)) <= probeCap)
       .select("doc_id", "b", "band")
 
-    (pairs, newPostings, () => { relBuckets(); relCand() })
+    (pairs, newPostings, () => { relBuckets(); relCand(); relSh() })
   }
 
   /** The incremental dedup as a streaming pipeline: per-epoch increments of

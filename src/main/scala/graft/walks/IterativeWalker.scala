@@ -104,11 +104,11 @@ object IterativeWalker {
 
     var live = state.filter(_.alive).count()
     var iter = 0
+    val liveCheckEvery = 4
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[Dataset[St]]
-    // release handles for every local checkpoint taken in the drain —
-    // Dataset.unpersist cannot release those (CacheOps scaladoc), and
-    // leaving one orphaned slice cache per hop is exactly the storage
-    // pressure a long-lived bench/engine JVM cannot afford
+    // release handles for every cache the drain takes — all deferred to the
+    // final union (Dataset.unpersist cannot release local checkpoints,
+    // CacheOps scaladoc), then released deterministically before returning
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
     // the adjacency aggregation (edges → groupByKey → sort) is hop-invariant:
@@ -122,13 +122,15 @@ object IterativeWalker {
 
     while (live > 0 && iter < params.maxWalkSteps) {
       val liveDS = state.filter(_.alive)
-      // settled walks accumulate; the eager localCheckpoint cuts their
-      // dependence on `state` so the superseded cache can be released —
-      // otherwise cached partitions pile up across up to maxWalkSteps
-      // iterations and pressure executor storage memory
-      val (slice, sliceRelease) = graft.core.CacheOps.checkpointReleasable(state.filter(!_.alive))
-      doneParts += slice
-      releases += sliceRelease
+      // settled walks accumulate as LAZY filters over each hop's persisted
+      // state — zero extra jobs per hop (the r5 shape eagerly checkpointed
+      // each slice: one full job dispatch per hop just to copy settled rows
+      // out; at fixture scale job latency dominated the drain). The cost is
+      // that superseded state caches stay alive until the final union
+      // materializes — bounded by Σ|state_k| ≈ total visits, the same order
+      // as the drain's output, and MEMORY_AND_DISK spills past that.
+      doneParts += state.filter(!_.alive)
+      releases += stateRelease
       val stepped = liveDS
         .joinWith(adjDF, liveDS("cur") === adjDF("src"), "left_outer")
         .map { case (s, adjRow) =>
@@ -152,13 +154,18 @@ object IterativeWalker {
       val (next, nextRelease) =
         if (iter % checkpointEvery == checkpointEvery - 1) graft.core.CacheOps.checkpointReleasable(stepped)
         else { val n = stepped.persist(); (n, () => { n.unpersist(); () }) }
-      live = next.filter(_.alive).count()
-      // superseded: its settled slice was copied out eagerly and `next` was
-      // just materialized by the count
-      stateRelease()
       state = next
       stateRelease = nextRelease
       iter += 1
+      // the live count is only the early-exit probe — every probe is a full
+      // job dispatch, so probing every hop made the drain's cost the JOB
+      // COUNT at fixture scale (r6 profiling: 73 sub-0.25 s jobs on the
+      // 12-hop single-source rank). Probe every liveCheckEvery hops instead:
+      // un-probed hops chain lazily and the next probe materializes them in
+      // one submission. Walks are identical either way (counter-based draws;
+      // extra hops past global death are empty-join no-ops).
+      if (iter % liveCheckEvery == 0 || iter >= params.maxWalkSteps)
+        live = next.filter(_.alive).count()
     }
     // every surviving slice is checkpointed or cache-materialized by the
     // per-iteration count, so the adjacency cache can be released here
@@ -294,13 +301,15 @@ object IterativeWalker {
     edgesIdx.count() // materialize from the adjDF cache before dropping it
     adjDF.unpersist()
     var iter = 0
+    val liveCheckEvery = 4
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[Dataset[StE]]
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
     while (live > 0 && iter < params.maxWalkSteps) {
-      val (slice, sliceRelease) = graft.core.CacheOps.checkpointReleasable(state.filter(!_.alive))
-      doneParts += slice
-      releases += sliceRelease
+      // lazy settled slice over the persisted state — zero extra jobs per
+      // hop; release deferred to the final union (see generateReleasable)
+      doneParts += state.filter(!_.alive)
+      releases += stateRelease
       // decide locally: stop draw and next-edge index need only curDeg
       val decided = state.filter(_.alive).map { s =>
         if (!WalkAlgebra.genContinues(p, s.walkId, round, wave, s.step)) {
@@ -331,11 +340,12 @@ object IterativeWalker {
       val (next, nextRelease) =
         if (iter % checkpointEvery == checkpointEvery - 1) graft.core.CacheOps.checkpointReleasable(stepped)
         else { val n = stepped.persist(); (n, () => { n.unpersist(); () }) }
-      live = next.filter(_.alive).count()
-      stateRelease()
       state = next
       stateRelease = nextRelease
       iter += 1
+      // batched early-exit probe — see generateReleasable
+      if (iter % liveCheckEvery == 0 || iter >= params.maxWalkSteps)
+        live = next.filter(_.alive).count()
     }
     edgesIdx.unpersist()
     doneParts += state

@@ -300,7 +300,7 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, Seq(0.1, 9.9, 0.0, 0.0)), // cell of 1, cos ≈ 1 → dropped, keeper 1
       (4L, Seq(0.0, 0.0, 10.0, 0.0)) // cos ≈ 0 with every cell-mate → kept
     ).toDF("vec_id", "embedding")
-    val (assign, _) = SignalQueries.kmeansFit(emb, k = 2, iters = 2)
+    val (assign, _, _) = SignalQueries.kmeansFit(emb, k = 2, iters = 2)
     val drops = SignalQueries
       .semanticDedupDrops(assign.select("cid", "vec_id", "v"), tau = 0.35, maxCell = 4096)
       .collect()
@@ -315,7 +315,7 @@ class SignalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // kept, 1-49 all drop with keeper 0, 50-59 are the documented
     // truncation recall trade (untouched, NOT deduped)
     val emb = (0L until 60L).map(i => (i, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
-    val (assign, _) = SignalQueries.kmeansFit(emb, k = 2, iters = 2)
+    val (assign, _, _) = SignalQueries.kmeansFit(emb, k = 2, iters = 2)
     val drops = SignalQueries
       .semanticDedupDrops(assign.select("cid", "vec_id", "v"), tau = 0.35, maxCell = 50)
       .collect()
