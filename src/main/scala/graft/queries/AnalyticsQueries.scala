@@ -39,15 +39,20 @@ object AnalyticsQueries {
         col("o_custkey").cast("long").as("src"),
         ((col("o_orderkey") * 7) % n + 1).cast("long").as("dst")
       )
-    triangleCounts(dir0)
-      .orderBy(col("n_triangles").desc, col("node").asc)
-      .limit(20)
+    val (tc, rel) = triangleCountsReleasable(dir0)
+    graft.core.CacheOps.drainSmall(
+      tc.orderBy(col("n_triangles").desc, col("node").asc).limit(20),
+      rel
+    )
   }
 
   /** Core of q64 over any directed (src, dst) edge list: per-node triangle
-    * participation counts in the undirected simple graph.
+    * participation counts in the undirected simple graph. The ORIENTED edge
+    * table is checkpointed (r6): it feeds three join sides (both wedge legs
+    * + the closing probe), each of which used to replay the
+    * distinct + degree-join orientation from scratch.
     */
-  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
+  private[graft] def triangleCountsReleasable(edges: DataFrame): (DataFrame, () => Unit) = {
     val dir0 = edges.filter(col("src") =!= col("dst"))
     // undirected-distinct: canonical (min, max) form
     val und = dir0
@@ -62,27 +67,36 @@ object AnalyticsQueries {
     val withDeg = und
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), Seq("a"))
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), Seq("b"))
-    val oriented = withDeg.select(
-      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("a"))
-        .otherwise(col("b"))
-        .as("u"),
-      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("b"))
-        .otherwise(col("a"))
-        .as("v")
+    val (oriented, relO) = graft.core.CacheOps.checkpointReleasable(
+      withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b"))
+          .as("u"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a"))
+          .as("v")
+      )
     )
     // wedges from each min-rank corner, closed against oriented edges
     val e1 = oriented.select(col("u"), col("v").as("x"))
-    val e2 = oriented.select(col("u"), col("v").as("y"))
-    val wedges = e1.join(e2, Seq("u")).filter(col("x") < col("y"))
+    val e2 = oriented.select(col("u").as("__u2"), col("v").as("y"))
+    val wedges = e1.join(e2, col("u") === col("__u2")).filter(col("x") < col("y")).select("u", "x", "y")
     val tri = wedges
       .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
       .select(col("u"), col("x"), col("y"))
     // per-corner participation: every triangle credits all three nodes
-    tri
+    val out = tri
       .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node")
       .agg(count(lit(1)).as("n_triangles"))
+    (out, relO)
   }
+
+  /** [[triangleCountsReleasable]] with the cache left to the ContextCleaner
+    * — the convenience form for specs.
+    */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsReleasable(edges)._1
   val q64Sql: String =
     """WITH nn AS (SELECT count(*) AS n FROM customer),
       |d0 AS (SELECT CAST(o_custkey AS BIGINT) AS src,

@@ -406,8 +406,7 @@ object CurationQueries {
     */
   def q70SequencePack(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val docs = graft.core.ScanOps
-      .spread(t(dir, "documents"))
+    val docs = t(dir, "documents")
       .select(
         col("doc_id"),
         size(expr(s"regexp_extract_all(lower(text), '${SignalQueries.TokenRe}', 0)"))

@@ -53,7 +53,10 @@ object EngineQueries {
           .collect()
           .toMap
         val bAdj = spark.sparkContext.broadcast(adjMap)
-        nodes
+        // spread: the customer scan is one unsplittable row group, so ALL
+        // walksPerNode × nodes walk generation otherwise runs on one core
+        graft.core.ScanOps
+          .spread(nodes)
           .as[Long]
           .mapPartitions { it =>
             val adjF: WalkAlgebra.Adjacency = v => bAdj.value.getOrElse(v, Array.empty)

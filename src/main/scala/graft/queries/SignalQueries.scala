@@ -45,21 +45,23 @@ object SignalQueries {
     */
   def q58TfIdfKeywords(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    // r6 measured-first shape: the token explode runs ONCE into a
-    // checkpointed (doc, term, tf) table (the nDocs scalar action used to
-    // re-run the whole explode), and the scan is spread before the
-    // CPU-heavy regex (ScanOps) — then drained with every cache released
+    // r6: the nDocs scalar rides a broadcast one-row cross join (the q63
+    // idiom) instead of a separate driver action that re-ran the whole
+    // token explode; the tf subtree's shared exchange is deduplicated by
+    // exchange reuse, so the corpus is tokenized once per run with no
+    // checkpoint barrier — everything stays ONE lazy DAG (a checkpointed
+    // variant measured slower at fixture scale: the materialization barrier
+    // cost more than the saved pass)
     val toks = graft.core.ScanOps
       .spread(t(dir, "documents"))
       .select(col("doc_id"), explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
-    val (tf, relTf) = graft.core.CacheOps.checkpointReleasable(
-      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    )
-    val nDocs = tf.select("doc_id").distinct().count()
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df")).filter(col("df") * 2 <= lit(nDocs))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nd = tf.agg(countDistinct(col("doc_id")).as("__n"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    val out = tf
-      .join(df_, Seq("term"))
+    tf.join(df_, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * 2 <= col("__n"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TfIdfTopK)
       .select(
@@ -68,10 +70,9 @@ object SignalQueries {
         col("term"),
         col("tf"),
         col("df"),
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf")
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 4).as("tfidf")
       )
       .orderBy("doc_id", "rn")
-    graft.core.CacheOps.drain(out, relTf)
   }
   val q58Sql: String =
     s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS term
@@ -424,14 +425,18 @@ object SignalQueries {
     implicit val s: SparkSession = spark
     val n = t(dir, "customer").count()
     val nodes = t(dir, "customer").select(col("c_custkey").cast("long").as("node"))
-    // same deterministic edge derivation as q17 (RelationalQueries.scala)
-    val edges = t(dir, "orders")
-      .select(
-        col("o_custkey").cast("long").as("src"),
-        ((col("o_orderkey") * 7) % n + 1).cast("long").as("dst")
-      )
-      .distinct()
-    hits(nodes, edges).orderBy("node")
+    // same deterministic edge derivation as q17 (RelationalQueries.scala).
+    // r6: the distinct edge table feeds THREE iteration joins (a1, h1, a2)
+    // — checkpoint it once instead of re-running the scan+distinct per use
+    val (edges, relE) = graft.core.CacheOps.checkpointReleasable(
+      t(dir, "orders")
+        .select(
+          col("o_custkey").cast("long").as("src"),
+          ((col("o_orderkey") * 7) % n + 1).cast("long").as("dst")
+        )
+        .distinct()
+    )
+    graft.core.CacheOps.drain(hits(nodes, edges).orderBy("node"), relE)
   }
 
   /** Core of q63 over any (node) / (src, dst) graph. */
@@ -499,15 +504,15 @@ object SignalQueries {
   def q69PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cap = TextQueries.NGramPrefixCap
-    // r6: the tokenized corpus is computed ONCE into a checkpoint — uni,
-    // bi, and the two scalar actions each re-ran the regex pass before
-    // (4 corpus scans → 1); the scan is spread, and the result drained
-    val (toks, relToks) = graft.core.CacheOps.checkpointReleasable(
-      graft.core.ScanOps
-        .spread(t(dir, "documents"))
-        .select(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)").as("ws"))
-        .select(expr(s"slice(ws, 1, $cap)").as("ws"))
-    )
+    // r6: the two normalizing totals ride broadcast one-row cross joins
+    // (the q63 idiom) instead of separate driver actions that each re-ran
+    // the regex tokenization — the whole query stays ONE lazy DAG and the
+    // corpus regex runs once per subtree family with exchange reuse
+    // deduplicating the shared uni aggregation
+    val toks = graft.core.ScanOps
+      .spread(t(dir, "documents"))
+      .select(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)").as("ws"))
+      .select(expr(s"slice(ws, 1, $cap)").as("ws"))
     val uni = toks.select(explode(col("ws")).as("tok")).groupBy("tok").agg(count(lit(1)).as("c"))
     val bi = toks
       .filter(size(col("ws")) >= 2)
@@ -520,23 +525,26 @@ object SignalQueries {
       .groupBy("a", "b")
       .agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= PmiMinSupport)
-    val totU = uni.agg(sum("c")).first().getLong(0)
-    val totT = toks.filter(size(col("ws")) >= 2).select(sum(size(col("ws")) - 1)).first().getLong(0)
-    val out = bi
-      .join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+    val totU = uni.agg(sum("c").as("__u"))
+    val totT = toks.filter(size(col("ws")) >= 2).select(sum(size(col("ws")) - 1).as("__t"))
+    bi.join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
       .join(uni.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(totU))
+      .crossJoin(broadcast(totT))
       .select(
         col("a"),
         col("b"),
         col("cab"),
         round(
-          log((col("cab") * lit(totU) * lit(totU)).cast("double") / (lit(totT) * col("ca") * col("cb")).cast("double")),
+          log(
+            (col("cab") * col("__u") * col("__u")).cast("double") /
+              (col("__t") * col("ca") * col("cb")).cast("double")
+          ),
           4
         ).as("pmi")
       )
       .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
       .limit(PmiTopK)
-    graft.core.CacheOps.drainSmall(out, relToks)
   }
   val q69Sql: String = {
     val cap = TextQueries.NGramPrefixCap
@@ -578,18 +586,20 @@ object SignalQueries {
     */
   private[graft] def semanticDedupDrops(asg: DataFrame, tau: Double, maxCell: Int): DataFrame = {
     val wr = Window.partitionBy("cid").orderBy(col("vec_id").asc)
+    // squared norms once per vector, not per pair (see embeddingNearDup —
+    // identical fold expression, bit-equal doubles, 3× less array work in
+    // the pair stage, which r6 profiling showed as q72's dominant job)
     val e = asg
       .withColumn("__rn", row_number().over(wr))
       .filter(col("__rn") <= maxCell)
       .drop("__rn")
+      .withColumn("nsq", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
     val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    val na = expr("aggregate(va, 0D, (acc, x) -> acc + x * x)")
-    val nb = expr("aggregate(vb, 0D, (acc, x) -> acc + x * x)")
     val pairs = e
-      .select(col("cid"), col("vec_id").as("a"), col("v").as("va"))
-      .join(e.select(col("cid"), col("vec_id").as("b"), col("v").as("vb")), Seq("cid"))
+      .select(col("cid"), col("vec_id").as("a"), col("v").as("va"), col("nsq").as("na"))
+      .join(e.select(col("cid"), col("vec_id").as("b"), col("v").as("vb"), col("nsq").as("nb")), Seq("cid"))
       .filter(col("a") < col("b"))
-      .withColumn("cos_sim", round(dot / (sqrt(na) * sqrt(nb)), 4))
+      .withColumn("cos_sim", round(dot / (sqrt(col("na")) * sqrt(col("nb"))), 4))
       .filter(col("cos_sim") >= tau)
     val wk = Window.partitionBy("b").orderBy(col("cos_sim").desc, col("a").asc)
     pairs
@@ -810,31 +820,31 @@ object SignalQueries {
     */
   def q75MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    // r6: the O(sources) aggregate is checkpointed once (the two
-    // normalizing scalars each re-ran the corpus regex pass before:
-    // 3 corpus scans → 1); spread + drained
-    val (src, relSrc) = graft.core.CacheOps.checkpointReleasable(
-      graft.core.ScanOps
-        .spread(t(dir, "documents"))
-        .select(
-          col("source"),
-          size(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).cast("long").as("n")
-        )
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
-    )
-    val tot = src.agg(sum("tokens")).first().getLong(0).toDouble
-    val w = src.withColumn("pw", pow(col("tokens") / lit(tot), MixAlpha))
-    val z = w.agg(sum("pw")).first().getDouble(0)
-    val out = w.select(
-      col("source"),
-      col("n_docs"),
-      col("tokens"),
-      round(col("tokens") / lit(tot), 4).as("nat_share"),
-      round(col("pw") / lit(z), 4).as("alpha_share"),
-      round(col("pw") / lit(z) * lit(tot) / col("tokens"), 4).as("epochs")
-    ).orderBy("source")
-    graft.core.CacheOps.drainSmall(out, relSrc)
+    // r6: both normalizing scalars ride broadcast one-row cross joins (the
+    // q63 idiom) instead of separate driver actions that each re-ran the
+    // corpus regex pass — one lazy DAG, with exchange reuse deduplicating
+    // the shared per-source aggregation subtree
+    val src = graft.core.ScanOps
+      .spread(t(dir, "documents"))
+      .select(
+        col("source"),
+        size(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).cast("long").as("n")
+      )
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+    val tot = src.agg(sum("tokens").cast("double").as("__tot"))
+    val w = src.crossJoin(broadcast(tot)).withColumn("pw", pow(col("tokens") / col("__tot"), MixAlpha))
+    val z = w.agg(sum("pw").as("__z"))
+    w.crossJoin(broadcast(z))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("tokens"),
+        round(col("tokens") / col("__tot"), 4).as("nat_share"),
+        round(col("pw") / col("__z"), 4).as("alpha_share"),
+        round(col("pw") / col("__z") * col("__tot") / col("tokens"), 4).as("epochs")
+      )
+      .orderBy("source")
   }
   val q75Sql: String =
     s"""WITH tf AS (SELECT source, CAST(len(regexp_extract_all(lower(text), '$TokenRe')) AS BIGINT) AS n
@@ -1122,8 +1132,7 @@ object SignalQueries {
     // table once so iterations 2..k fold over it instead of re-exploding
     // the corpus per action (the q49/CacheOps release discipline)
     val (w0, releaseW0) = graft.core.CacheOps.checkpointReleasable(
-      graft.core.ScanOps
-        .spread(documents)
+      documents
         .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
         .groupBy("word")
         .agg(count(lit(1)).as("wc"))
@@ -1245,8 +1254,7 @@ object SignalQueries {
         )
       )
     }
-    val perDocWord = graft.core.ScanOps
-      .spread(documents)
+    val perDocWord = documents
       .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))

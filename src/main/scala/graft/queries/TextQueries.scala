@@ -185,7 +185,7 @@ object TextQueries {
   def q24MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     def h(k: Int): Column = min(md5(concat(lit(s"s$k:"), col("tok")).cast("binary"))).as(s"h$k")
-    val sig = tokens(graft.core.ScanOps.spread(t(dir, "documents"))).groupBy("doc_id").agg(h(1), h(2), h(3), h(4))
+    val sig = tokens(t(dir, "documents")).groupBy("doc_id").agg(h(1), h(2), h(3), h(4))
     val bands = sig
       .select(col("doc_id"), md5(concat(col("h1"), col("h2")).cast("binary")).as("b"), lit(1).as("band"))
       .union(sig.select(col("doc_id"), md5(concat(col("h3"), col("h4")).cast("binary")).as("b"), lit(2).as("band")))
@@ -222,7 +222,7 @@ object TextQueries {
     */
   def q25Simhash(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val toks = tokens(graft.core.ScanOps.spread(t(dir, "documents")))
+    val toks = tokens(t(dir, "documents"))
       .withColumn("h", expr("cast(conv(substring(md5(cast(tok as binary)), 1, 8), 16, 10) as bigint)"))
     toks
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
@@ -249,7 +249,7 @@ object TextQueries {
     */
   def q26AnnCosineTopK(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val emb = graft.core.ScanOps.spread(t(dir, "embeddings"))
+    val emb = t(dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val dot = expr(
       "aggregate(zip_with(embedding, qe, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
@@ -305,7 +305,7 @@ object TextQueries {
     val bucket = (1 to 8)
       .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
       .reduce((a, b) => concat(a, b))
-    val emb = graft.core.ScanOps.spread(t(dir, "embeddings")).withColumn("bucket", bucket)
+    val emb = t(dir, "embeddings").withColumn("bucket", bucket)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"), col("bucket").as("qbucket"))
     val dot = expr(
       "aggregate(zip_with(embedding, qe, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
@@ -343,7 +343,7 @@ object TextQueries {
     val bucket = (1 to 8)
       .map(i => when(expr(s"cast(element_at(embedding, $i) as double)") >= 0, lit("1")).otherwise(lit("0")))
       .reduce((a, b) => concat(a, b))
-    val emb = graft.core.ScanOps.spread(t(dir, "embeddings")).withColumn("bucket", bucket)
+    val emb = t(dir, "embeddings").withColumn("bucket", bucket)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"), col("bucket").as("qbucket"))
     val flips: Seq[Column] = (1 to 8).map { i =>
       concat(
@@ -416,21 +416,27 @@ object TextQueries {
   ): DataFrame = {
     implicit val s: SparkSession = spark
     val w = Window.partitionBy(col("bucket"))
-    val e = graft.core.ScanOps
-      .spread(t(dir, "embeddings"))
-      .select(col("vec_id"), col("embedding"), signBucket(bits).as("bucket"))
+    // the squared norm is computed ONCE PER VECTOR before the pair join —
+    // folding it per pair tripled the per-candidate array work (r6
+    // profiling: the single fused pair job carried 3 O(dim) folds per
+    // candidate); the per-row fold is the identical expression, so the
+    // doubles are bit-equal
+    val nsq = expr("aggregate(embedding, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    val e = t(dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), signBucket(bits).as("bucket"), nsq.as("nsq"))
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n").between(2, maxBucket))
       .drop("__n")
     val dot = expr(
       "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
     )
-    val na = expr("aggregate(ea, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
-    val nb = expr("aggregate(eb, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
-    e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      .join(e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("bucket"))
+    e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nsq").as("na"))
+      .join(
+        e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nsq").as("nb")),
+        Seq("bucket")
+      )
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_r", round(dot / (sqrt(na) * sqrt(nb)), 4))
+      .withColumn("cos_r", round(dot / (sqrt(col("na")) * sqrt(col("nb"))), 4))
       .filter(col("cos_r") >= 0.35)
       .select("vec_a", "vec_b", "cos_r")
       .orderBy("vec_a", "vec_b")
@@ -522,10 +528,11 @@ object TextQueries {
     */
   def q42SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    // r6: the simhash table is checkpointed — the banded self-join reads it
-    // from BOTH sides, each of which used to replay the full 32-bit vote
-    // pipeline (token explode × 32 bits × corpus); drained with release
-    val (sh, relSh) = graft.core.CacheOps.checkpointReleasable(q25Simhash(spark, dir)) // (doc_id, simhash)
+    // both sides of the banded self-join share the identical simhash
+    // subtree — Spark's exchange reuse evaluates it once (measured r6: an
+    // explicit checkpoint here only added its materialization barrier,
+    // 1.7 s → 4.3 s, and was reverted)
+    val sh = q25Simhash(spark, dir) // (doc_id, simhash)
     val bands = sh.select(
       col("doc_id"),
       col("simhash"),
@@ -539,13 +546,12 @@ object TextQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sa", "sb")
       .distinct()
-    val out = cand
+    cand
       .withColumn("hd", expr("cast(bit_count(sa ^ sb) as int)"))
       .filter(col("hd") <= 3)
       .groupBy("hd")
       .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("first_a"))
       .orderBy("hd")
-    graft.core.CacheOps.drainSmall(out, relSh)
   }
   val q42Sql: String =
     s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
@@ -933,7 +939,7 @@ object TextQueries {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("cand_id").asc)
     // candidate generation (incl. the dense-block cap) is batchAnnCandidates
     // — the ONE implementation TextDedupSpec pins; this query only scores it
-    batchAnnCandidates(graft.core.ScanOps.spread(t(dir, "embeddings")), bits = 4, maxBucket = LshMaxBucket, queryIds = (1L to 5L))
+    batchAnnCandidates(t(dir, "embeddings"), bits = 4, maxBucket = LshMaxBucket, queryIds = (1L to 5L))
       .withColumn("cos_r", round(dot / (sqrt(nq) * sqrt(nc)), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -970,8 +976,7 @@ object TextQueries {
   def q45RegexTokens(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-    graft.core.ScanOps
-      .spread(t(dir, "documents"))
+    t(dir, "documents")
       .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$pat', 0)").as("toks"))
       .select(
         col("doc_id"),
@@ -1124,12 +1129,7 @@ object TextQueries {
     */
   def q47Decontamination(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    decontaminationScan(
-      graft.core.ScanOps.spread(t(dir, "documents")),
-      benchMaxId = 16L,
-      dfCap = LshMaxBucket,
-      topK = 5
-    )
+    decontaminationScan(t(dir, "documents"), benchMaxId = 16L, dfCap = LshMaxBucket, topK = 5)
   }
   val q47Sql: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -1164,41 +1164,31 @@ object TextQueries {
     import spark.implicits._
     val docs = t(dir, "documents").select("doc_id", "text")
     var postings: Option[DataFrame] = None
-    var seen: Option[DataFrame] = None
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     val emitted = (0 until 3).map { k =>
       val chunk = docs.filter(pmod(col("doc_id"), lit(3)) === k)
+      // prior docs need no materialized state table in the replay: the
+      // union of chunks 0..k-1 IS the filter pmod < k over the same scan
+      // (the streaming runner reads its parquet store instead) — one fewer
+      // checkpoint job per micro-batch (r6)
+      val seen = if (k == 0) None else Some(docs.filter(pmod(col("doc_id"), lit(3)) < k))
       val (pairs, np, relBatch) = graft.streaming.StreamDedup.dedupBatch(spark, chunk, postings, seen)
       releases += relBatch
-      // materialize the accumulated state once per micro-batch (the role the
-      // streaming runner's parquet write plays) so later batches never
+      // materialize the accumulated postings once per micro-batch (the role
+      // the streaming runner's parquet write plays) so later batches never
       // recompute earlier batches' signatures; released once the emissions
       // are drained below
       val (postCp, rp) = graft.core.CacheOps.checkpointReleasable(
         postings.map(_.unionByName(np)).getOrElse(np)
       )
-      val (seenCp, rs) = graft.core.CacheOps.checkpointReleasable(
-        seen.map(_.unionByName(chunk)).getOrElse(chunk)
-      )
-      releases += rp += rs
+      releases += rp
       postings = Some(postCp)
-      seen = Some(seenCp)
       pairs
     }
-    val out = emitted.reduce(_ unionByName _)
     // same drain-then-release discipline as q34: emissions are O(capped
     // candidates); collect when small, otherwise keep a single O(pairs)
     // checkpoint alive and free every intermediate either way
-    val (outCp, releaseOut) = graft.core.CacheOps.checkpointReleasable(out)
-    if (outCp.count() <= 2000000L) {
-      val rows = outCp.as[(Long, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2))
-      releases.foreach(_())
-      releaseOut()
-      spark.createDataset(rows.toIndexedSeq).toDF("doc_a", "doc_b", "jaccard_r", "is_dup")
-    } else {
-      releases.foreach(_())
-      outCp.orderBy("doc_a", "doc_b")
-    }
+    graft.core.CacheOps.drain(emitted.reduce(_ unionByName _), releases.toSeq: _*)
   }
   val q49Sql: String = q33Sql
 
@@ -1229,7 +1219,7 @@ object TextQueries {
     */
   def q50Repetition(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    repetitionSignals(graft.core.ScanOps.spread(t(dir, "documents")))
+    repetitionSignals(t(dir, "documents"))
   }
 
   /** Core of q50 over any (doc_id, text) frame — spec-testable with planted
