@@ -52,8 +52,7 @@ object SignalQueries {
     // checkpoint barrier — everything stays ONE lazy DAG (a checkpointed
     // variant measured slower at fixture scale: the materialization barrier
     // cost more than the saved pass)
-    val toks = graft.core.ScanOps
-      .spread(t(dir, "documents"))
+    val toks = t(dir, "documents")
       .select(col("doc_id"), explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val nd = tf.agg(countDistinct(col("doc_id")).as("__n"))
@@ -426,17 +425,16 @@ object SignalQueries {
     val n = t(dir, "customer").count()
     val nodes = t(dir, "customer").select(col("c_custkey").cast("long").as("node"))
     // same deterministic edge derivation as q17 (RelationalQueries.scala).
-    // r6: the distinct edge table feeds THREE iteration joins (a1, h1, a2)
-    // — checkpoint it once instead of re-running the scan+distinct per use
-    val (edges, relE) = graft.core.CacheOps.checkpointReleasable(
-      t(dir, "orders")
-        .select(
-          col("o_custkey").cast("long").as("src"),
-          ((col("o_orderkey") * 7) % n + 1).cast("long").as("dst")
-        )
-        .distinct()
-    )
-    graft.core.CacheOps.drain(hits(nodes, edges).orderBy("node"), relE)
+    // The three iteration joins share the distinct-edges subtree; exchange
+    // reuse covers it (an explicit checkpoint measured SLOWER in r6 —
+    // 1.4 s → 2.3 s, barrier + drain overhead — and was reverted)
+    val edges = t(dir, "orders")
+      .select(
+        col("o_custkey").cast("long").as("src"),
+        ((col("o_orderkey") * 7) % n + 1).cast("long").as("dst")
+      )
+      .distinct()
+    hits(nodes, edges).orderBy("node")
   }
 
   /** Core of q63 over any (node) / (src, dst) graph. */

@@ -23,6 +23,12 @@ import graft.core.{CrawlParams, WalkRow}
   */
 object IterativeWalker {
 
+  /** Adjacency/exploded-edge row count below which the hop join broadcasts
+    * the graph side (guide §3.1) — fixture graphs and small crawl rounds
+    * qualify; a production-scale graph never does.
+    */
+  private[graft] val BroadcastAdjMaxRows = 65536L
+
   case class St(
       walkId: Long,
       start: Long,
@@ -119,6 +125,15 @@ object IterativeWalker {
     // re-exchanges the full adjacency (cached rows, but a full shuffle per
     // hop: the dominant per-hop cost at 10^10 edges)
     val adjDF = adjacency.toDF("src", "follows").repartition(col("src")).persist()
+    // size-aware join strategy (guide §3.1: broadcast the side that fits):
+    // when the crawled adjacency is small, broadcast it into every hop's
+    // lookup join — the walk side then flows with NO exchange at all and
+    // the broadcast build is shared across the hops of one probe action
+    // (exchange reuse). Above the gate the hash-partitioned cache path is
+    // unchanged — the 10^10-edge regime. Walks are identical either way
+    // (join strategy, not join semantics).
+    val adjRows = adjDF.count()
+    val adjSide = if (adjRows <= BroadcastAdjMaxRows) broadcast(adjDF) else adjDF
 
     while (live > 0 && iter < params.maxWalkSteps) {
       val liveDS = state.filter(_.alive)
@@ -132,7 +147,7 @@ object IterativeWalker {
       doneParts += state.filter(!_.alive)
       releases += stateRelease
       val stepped = liveDS
-        .joinWith(adjDF, liveDS("cur") === adjDF("src"), "left_outer")
+        .joinWith(adjSide, liveDS("cur") === adjSide("src"), "left_outer")
         .map { case (s, adjRow) =>
           // replicate WalkAlgebra.generateWalk's per-iteration decision tree
           if (!WalkAlgebra.genContinues(p, s.walkId, round, wave, s.step)) {
@@ -298,8 +313,11 @@ object IterativeWalker {
 
     var stateRelease: () => Unit = { val s = state; () => { s.unpersist(); () } }
     var live = state.filter(_.alive).count() // materializes state (and adjDF)
-    edgesIdx.count() // materialize from the adjDF cache before dropping it
+    val edgeRows = edgesIdx.count() // materialize from the adjDF cache before dropping it
     adjDF.unpersist()
+    // size-aware hop-join strategy — see generateReleasable; the exploded
+    // table is one skinny row per edge, so the gate is the same row bound
+    val edgeSide = if (edgeRows <= BroadcastAdjMaxRows) broadcast(edgesIdx) else edgesIdx
     var iter = 0
     val liveCheckEvery = 4
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[Dataset[StE]]
@@ -325,8 +343,8 @@ object IterativeWalker {
       // matches EXACTLY ONE edge (nextIdx < curDeg by construction)
       val stepped = decided
         .joinWith(
-          edgesIdx,
-          decided("cur") === edgesIdx("src") && decided("nextIdx") === edgesIdx("idx"),
+          edgeSide,
+          decided("cur") === edgeSide("src") && decided("nextIdx") === edgeSide("idx"),
           "left_outer"
         )
         .map { case (s, e) =>
