@@ -122,16 +122,13 @@ object CorpusPipeline {
     val dup = vp
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b")
-    // checkpointed, not persisted: no lineage back into the verify caches
-    // (the q34 discipline), so those release before the CC loop
-    val (edgesBoth, relEdges) = CacheOps.checkpointReleasable(
-      dup
-        .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-        .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-    )
-    relVp()
+    // the lazy edge plan materializes once, into CC's edgesLoop checkpoint;
+    // the verify caches release after CC returns (the q34 discipline)
+    val edgesBoth = dup
+      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
     val (labels, _, relCC) = TextQueries.connectedComponents(spark, edgesBoth)
-    relEdges() // CC's own edgesLoop checkpoint took over at entry
+    relVp()
     val (dropsCp, relDrops) = CacheOps.checkpointReleasable(
       labels.filter(col("node") =!= col("label")).select(col("node").as("doc_id"))
     )

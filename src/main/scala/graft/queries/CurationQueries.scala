@@ -120,16 +120,13 @@ object CurationQueries {
     val dup = vp
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b")
-    // checkpointed, not persisted: no lineage back into the verify caches
-    // (the q34 discipline), so those release before the CC loop
-    val (edgesBoth, relEdges) = graft.core.CacheOps.checkpointReleasable(
-      dup
-        .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-        .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-    )
-    relVp()
+    // the lazy edge plan materializes once, into CC's edgesLoop checkpoint;
+    // the verify caches release after CC returns (the q34 discipline)
+    val edgesBoth = dup
+      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
     val (labels, _, release) = TextQueries.connectedComponents(spark, edgesBoth)
-    relEdges() // CC's own edgesLoop checkpoint took over at entry
+    relVp()
     val q = docs.select(col("doc_id").as("node"), qualityScore.as("quality"))
     val wk = Window.partitionBy(col("cluster")).orderBy(col("quality").desc, col("node").asc)
     val out = labels

@@ -987,9 +987,15 @@ object SignalQueries {
     val (xy, relXy) = graft.core.CacheOps.checkpointReleasable(
       x.join(lab.select("doc_id", "y"), Seq("doc_id"))
     )
-    // one action for both scalars: lab is doc-level and explode-free, so
-    // this job never touches the token fan-out
-    val labAgg = lab.agg(count(lit(1)), sum(lit(0.5) - col("y"))).first()
+    // one action for both scalars, read from the xy CACHE rather than a
+    // second corpus scan: a doc appears in xy iff it had ≥1 token, and its
+    // y repeats on every bucket row, so per-doc first(y) reproduces lab
+    // exactly (r6 — the separate lab scan was a full split+distinct pass)
+    val labAgg = xy
+      .groupBy("doc_id")
+      .agg(first(col("y")).as("y"))
+      .agg(count(lit(1)), sum(lit(0.5) - col("y")))
+      .first()
     // degenerate corpus (no [a-z]{3,} token anywhere): the SQL oracle's
     // empty `l` CTE yields an empty result — match it instead of reading a
     // null sum / dividing by zero (r5 ADVICE)

@@ -831,10 +831,10 @@ object TextQueries {
     val (edgesLoop, relEdges) = graft.core.CacheOps.checkpointReleasable(
       edgesBoth.union(nodes.select(col("node"), col("node").as("nbr")))
     )
-    var (labels0, relLabels) = graft.core.CacheOps.checkpointReleasable(
-      edgesLoop.filter(col("node") === col("nbr")).select(col("node"), col("node").as("label"))
-    )
-    var labels = fresh(labels0)
+    // the initial labels are a cheap filter over the edgesLoop cache (the
+    // self-loop rows ARE the node set) — no checkpoint of their own
+    var labels = edgesLoop.filter(col("node") === col("nbr")).select(col("node"), col("node").as("label"))
+    var relLabels: () => Unit = () => ()
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -859,6 +859,8 @@ object TextQueries {
       iter += 1
       if (s.compareTo(prevSum) == 0) converged = true else prevSum = s
     }
+    // the loop always runs at least once, so the returned labels are the
+    // last jump CHECKPOINT (lineage-free) — edgesLoop can release now
     relEdges()
     (labels, iter, relLabels)
   }
@@ -877,17 +879,16 @@ object TextQueries {
     import spark.implicits._
     val (vp, relVp) = verifiedPairsReleasable(t(dir, "documents"))
     val dup = vp.filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-    // the edge table is CHECKPOINTED (not merely persisted): it has no
-    // lineage back into the verify caches, so those release immediately and
-    // a CC-loop cache miss can never try to recompute through them
-    val (edgesBoth, relEdges) = graft.core.CacheOps.checkpointReleasable(
-      dup
-        .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-        .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-    )
-    relVp()
+    // the lazy edge plan materializes exactly once, into CC's own edgesLoop
+    // CHECKPOINT at entry — the verify caches stay alive until CC returns
+    // and release then (a plain .persist() here once let a CC-loop cache
+    // miss recompute through already-released checkpoints; the checkpoint
+    // chain cannot)
+    val edgesBoth = dup
+      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .union(dup.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
     val (labels, _, release) = connectedComponents(spark, edgesBoth)
-    relEdges() // CC's own edgesLoop checkpoint took over at entry
+    relVp()
     val out = labels
       .groupBy(col("label").as("keeper"))
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
