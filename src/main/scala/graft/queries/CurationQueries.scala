@@ -249,12 +249,12 @@ object CurationQueries {
     * CurationQueriesSpec pins byte-equality against the naive window on a
     * multi-partition fixture.
     */
-  private[graft] def withStartOffset(
+  private[graft] def withStartOffsetReleasable(
       docs: DataFrame,
       orderCol: String,
       sizeCol: String,
       numPartitions: Int = 0
-  )(implicit spark: SparkSession): DataFrame = {
+  )(implicit spark: SparkSession): (DataFrame, () => Unit) = {
     val nPart =
       if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
     val ranged = docs
@@ -287,10 +287,23 @@ object CurationQueries {
       }
     }
     val df = spark.createDataFrame(stamped, schema)
-    // the persisted input RDD stays referenced by the output's lineage;
-    // release is the caller's call once the result is drained
-    df
+    // the persisted input RDD stays referenced by the output's lineage
+    // (plain persist: unpersist leaves it recomputable); callers drain the
+    // result and call the release handle — the r6 cache-sweep spec pins
+    // that no query leaves it behind
+    (df, () => { rdd.unpersist(); () })
   }
+
+  /** [[withStartOffsetReleasable]] with the cache left to the
+    * ContextCleaner — the convenience form for specs.
+    */
+  private[graft] def withStartOffset(
+      docs: DataFrame,
+      orderCol: String,
+      sizeCol: String,
+      numPartitions: Int = 0
+  )(implicit spark: SparkSession): DataFrame =
+    withStartOffsetReleasable(docs, orderCol, sizeCol, numPartitions)._1
 
   /** Target shard size for q57 in chars. Small enough that every test sf
     * produces a multi-shard assignment; the production knob is the
@@ -303,13 +316,21 @@ object CurationQueries {
     * shard its first byte lands in — shards can overhang by at most one
     * doc, the standard tar-shard convention, mirrored in the oracle).
     */
+  private[graft] def shardAssignReleasable(
+      docs: DataFrame,
+      targetChars: Long,
+      numPartitions: Int = 0
+  )(implicit spark: SparkSession): (DataFrame, () => Unit) = {
+    val (off, rel) = withStartOffsetReleasable(docs, "doc_id", "n_chars", numPartitions)
+    (off.withColumn("shard", floor(col("start_off") / targetChars).cast("long")), rel)
+  }
+
   private[graft] def shardAssign(
       docs: DataFrame,
       targetChars: Long,
       numPartitions: Int = 0
   )(implicit spark: SparkSession): DataFrame =
-    withStartOffset(docs, "doc_id", "n_chars", numPartitions)
-      .withColumn("shard", floor(col("start_off") / targetChars).cast("long"))
+    shardAssignReleasable(docs, targetChars, numPartitions)._1
 
   /** q57 — byte-budget export shards: the manifest (doc count, char sum,
     * id range) per shard the export writer would produce. The assignment
@@ -321,15 +342,20 @@ object CurationQueries {
     */
   def q57ShardAssign(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    shardAssign(t(dir, "documents").select("doc_id", "n_chars"), ShardTargetChars)
-      .groupBy("shard")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_chars").as("sum_chars"),
-        min("doc_id").as("first_doc"),
-        max("doc_id").as("last_doc")
-      )
-      .orderBy("shard")
+    val (assigned, rel) =
+      shardAssignReleasable(t(dir, "documents").select("doc_id", "n_chars"), ShardTargetChars)
+    graft.core.CacheOps.drain(
+      assigned
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc")
+        )
+        .orderBy("shard"),
+      rel
+    )
   }
   val q57Sql: String =
     s"""WITH o AS (SELECT doc_id, n_chars,
@@ -369,12 +395,13 @@ object CurationQueries {
     * `sequence()` array; the extractor's TooBig gate (F1) bounds that
     * upstream. All columns integer → the oracle is bit-exact.
     */
-  private[graft] def sequencePack(
+  private[graft] def sequencePackReleasable(
       docs: DataFrame,
       contextLen: Long
-  )(implicit spark: SparkSession): DataFrame = {
+  )(implicit spark: SparkSession): (DataFrame, () => Unit) = {
     require(contextLen > 0, s"contextLen must be positive, got $contextLen")
-    withStartOffset(docs, "doc_id", "n_tokens")
+    val (off, rel) = withStartOffsetReleasable(docs, "doc_id", "n_tokens")
+    val packed = off
       .withColumn("end_off", col("start_off") + col("n_tokens"))
       // `div`, not `/` (the q65 discipline): long division on both engines
       .withColumn("first_seq", expr(s"start_off div $contextLen"))
@@ -391,7 +418,17 @@ object CurationQueries {
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc")
       )
+    (packed, rel)
   }
+
+  /** [[sequencePackReleasable]] with the cache left to the ContextCleaner
+    * — the convenience form for specs.
+    */
+  private[graft] def sequencePack(
+      docs: DataFrame,
+      contextLen: Long
+  )(implicit spark: SparkSession): DataFrame =
+    sequencePackReleasable(docs, contextLen)._1
 
   /** q70 — sequence-packing manifest at [[PackContextLen]] tokens over the
     * documents table (tokens = [[SignalQueries.TokenRe]] matches, the q58/
@@ -411,7 +448,8 @@ object CurationQueries {
           .as("n_tokens")
       )
       .filter(col("n_tokens") > 0)
-    sequencePack(docs, PackContextLen).orderBy("seq")
+    val (packed, rel) = sequencePackReleasable(docs, PackContextLen)
+    graft.core.CacheOps.drain(packed.orderBy("seq"), rel)
   }
   val q70Sql: String = {
     val c = PackContextLen

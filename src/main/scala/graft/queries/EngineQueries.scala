@@ -38,14 +38,18 @@ object EngineQueries {
       .as[(Long, Long)]
     val p = CrawlParams(walksPerNode = 100)
     val broadcastMaxEdges = 4000000L
-    val visits =
+    val (visits, relWalks): (DataFrame, () => Unit) =
       if (edges.count() > broadcastMaxEdges) {
-        graft.walks.IterativeWalker
-          .generate(spark, nodes.as[Long], graft.walks.IterativeWalker.adjacencyTable(spark, edges), 0L, 15, p)
-          .flatMap(_.path)
-          .toDF("node")
-          .groupBy("node")
-          .agg(count(lit(1)).as("visits"))
+        val (walks, rel) = graft.walks.IterativeWalker
+          .generateReleasable(spark, nodes.as[Long], graft.walks.IterativeWalker.adjacencyTable(spark, edges), 0L, 15, p)
+        (
+          walks
+            .flatMap(_.path)
+            .toDF("node")
+            .groupBy("node")
+            .agg(count(lit(1)).as("visits")),
+          rel
+        )
       } else {
         val adjMap = edges
           .groupByKey(_._1)
@@ -55,10 +59,11 @@ object EngineQueries {
         val bAdj = spark.sparkContext.broadcast(adjMap)
         // spread: the customer scan is one unsplittable row group, so ALL
         // walksPerNode × nodes walk generation otherwise runs on one core
-        graft.core.ScanOps
-          .spread(nodes)
-          .as[Long]
-          .mapPartitions { it =>
+        (
+          graft.core.ScanOps
+            .spread(nodes)
+            .as[Long]
+            .mapPartitions { it =>
             val adjF: WalkAlgebra.Adjacency = v => bAdj.value.getOrElse(v, Array.empty)
             val counts = new java.util.HashMap[Long, Long]()
             it.foreach { node =>
@@ -75,11 +80,19 @@ object EngineQueries {
           }
           .toDF("node", "cnt")
           .groupBy("node")
-          .agg(sum("cnt").as("visits"))
+          .agg(sum("cnt").as("visits")),
+          () => ()
+        )
       }
-    visits
-      .withColumn("rank", round(col("visits").cast("double") / sum(col("visits")).over(), 6))
-      .orderBy("node")
+    // drain-then-release: on the iterative path the result reads the
+    // walker's output checkpoint — materialize the O(nodes) rank table and
+    // free it (the r6 cache-sweep spec pins zero leftover caches)
+    graft.core.CacheOps.drain(
+      visits
+        .withColumn("rank", round(col("visits").cast("double") / sum(col("visits")).over(), 6))
+        .orderBy("node"),
+      relWalks
+    )
   }
 
   /** q30 — bloom-filter seen-set pre-filter feeding an exact anti-join
@@ -156,11 +169,17 @@ object EngineQueries {
     val nodes = t(dir, "customer").select(col("c_custkey").cast("long").as("node"))
     val edges = nodes.select(col("node").as("src"), ((col("node") * 31 + 7) % n + 1).as("dst")).as[(Long, Long)]
     val p = CrawlParams(alpha = 1.0, walksPerNode = 1, maxWalkSteps = 8)
-    graft.walks.IterativeWalker
-      .generate(spark, nodes.as[Long], graft.walks.IterativeWalker.adjacencyTable(spark, edges), 0L, 15, p)
-      .flatMap(w => w.path.zipWithIndex.map { case (node, pos) => (w.start, pos, node) })
-      .toDF("start", "pos", "node")
-      .orderBy("start", "pos")
+    val (walks, relWalks) = graft.walks.IterativeWalker
+      .generateReleasable(spark, nodes.as[Long], graft.walks.IterativeWalker.adjacencyTable(spark, edges), 0L, 15, p)
+    // drain-then-release: the enumeration reads the walker's output
+    // checkpoint — materialize and free it (zero leftover caches)
+    graft.core.CacheOps.drain(
+      walks
+        .flatMap(w => w.path.zipWithIndex.map { case (node, pos) => (w.start, pos, node) })
+        .toDF("start", "pos", "node")
+        .orderBy("start", "pos"),
+      relWalks
+    )
   }
   val q39Sql: String =
     """WITH RECURSIVE
